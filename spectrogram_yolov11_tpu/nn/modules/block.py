@@ -1,0 +1,567 @@
+"""Core building blocks (flax.linen, NHWC).
+
+TPU-native re-implementations of the block zoo of the reference framework
+(/root/reference/ultralytics/nn/modules/block.py): CSP bottlenecks (C1/C2/C2f/
+C3/C3k/C3k2), SPP/SPPF, the YOLO11 attention stack (Attention/PSABlock/PSA/
+C2PSA/C2fPSA), v10 blocks (SCDown, CIB, C2fCIB, RepVGGDW), segmentation Proto,
+and DFL decode. Attribute names mirror the torch originals for mechanical
+weight translation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .conv import (
+    Conv,
+    DWConv,
+    GhostConv,
+    LightConv,
+    RepConv,
+    conv2d,
+    conv_transpose2d,
+    batch_norm,
+    get_act,
+    max_pool2d,
+)
+
+Dtype = Any
+
+
+def dfl_decode(box_logits: jax.Array, reg_max: int = 16) -> jax.Array:
+    """Distribution Focal Loss integral decode (reference: block.py:65 DFL).
+
+    box_logits: (..., 4*reg_max) ordered as 4 groups of reg_max bins.
+    Returns (..., 4) expected LTRB distances in stride units:
+    softmax over bins dotted with arange(reg_max).
+    """
+    shape = box_logits.shape
+    x = box_logits.reshape(*shape[:-1], 4, reg_max).astype(jnp.float32)
+    p = jax.nn.softmax(x, axis=-1)
+    proj = jnp.arange(reg_max, dtype=jnp.float32)
+    return jnp.einsum("...r,r->...", p, proj)
+
+
+class Bottleneck(nn.Module):
+    """Standard bottleneck: cv1 -> cv2 (+ residual) (reference: block.py:713)."""
+
+    c1: int
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    k: Any = (3, 3)
+    e: float = 0.5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = Conv(self.c1, c_, self.k[0], 1, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(c_, self.c2, self.k[1], 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        return x + y if self.shortcut and self.c1 == self.c2 else y
+
+
+class C1(nn.Module):
+    """CSP bottleneck with 1 conv (reference: block.py:411)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.c1, self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        z = y
+        for i in range(self.n):
+            z = Conv(self.c2, self.c2, 3, dtype=self.dtype, name=f"m_{i}")(z, train)
+        return z + y
+
+
+class C2(nn.Module):
+    """CSP bottleneck with 2 convs (reference: block.py:426)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(self.c1, 2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        a, b = jnp.split(y, 2, axis=-1)
+        for i in range(self.n):
+            a = Bottleneck(c, c, self.shortcut, self.g, k=((3, 3), (3, 3)), e=1.0, dtype=self.dtype, name=f"m_{i}")(a, train)
+        return Conv(2 * c, self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate((a, b), axis=-1), train)
+
+
+class C2f(nn.Module):
+    """Fast CSP bottleneck with 2 convs and dense growth (reference: block.py:444)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    dtype: Optional[Dtype] = None
+
+    def inner(self, c: int, i: int):
+        """The repeated inner block; overridden by C3k2."""
+        return Bottleneck(c, c, self.shortcut, self.g, k=((3, 3), (3, 3)), e=1.0, dtype=self.dtype, name=f"m_{i}")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(self.c1, 2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        for i in range(self.n):
+            ys.append(self.inner(c, i)(ys[-1], train))
+        return Conv((2 + self.n) * c, self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, axis=-1), train)
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convs (reference: block.py:490)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    k: Any = ((1, 1), (3, 3))  # inner bottleneck kernels; C3k overrides
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = Bottleneck(c_, c_, self.shortcut, self.g, k=self.k, e=1.0, dtype=self.dtype, name=f"m_{i}")(a, train)
+        return Conv(2 * c_, self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate((a, b), axis=-1), train)
+
+
+class C3k(nn.Module):
+    """C3 with custom square kernels in the inner bottlenecks (reference: block.py:1672)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    k: int = 3
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = Bottleneck(c_, c_, self.shortcut, self.g, k=(self.k, self.k), e=1.0, dtype=self.dtype, name=f"m_{i}")(a, train)
+        return Conv(2 * c_, self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate((a, b), axis=-1), train)
+
+
+def _c2f_forward(mod, x, train, c, cv_in_mult=2):
+    """Shared C2f-style forward: split, grow through mod.inner, merge."""
+    y = Conv(mod.c1, 2 * c, 1, 1, dtype=mod.dtype, name="cv1")(x, train)
+    ys = list(jnp.split(y, 2, axis=-1))
+    for i in range(mod.n):
+        ys.append(mod.inner(c, i)(ys[-1], train))
+    return Conv((2 + mod.n) * c, mod.c2, 1, dtype=mod.dtype, name="cv2")(jnp.concatenate(ys, axis=-1), train)
+
+
+class C3k2(nn.Module):
+    """YOLO11 block: C2f whose inner block is C3k (if c3k) else Bottleneck
+    (reference: block.py:1659). Standalone (not a C2f subclass) because its
+    positional signature (c1, c2, n, c3k, e, g, shortcut) differs.
+    """
+
+    c1: int
+    c2: int
+    n: int = 1
+    c3k: bool = False
+    e: float = 0.5
+    g: int = 1
+    shortcut: bool = True
+    dtype: Optional[Dtype] = None
+
+    def inner(self, c: int, i: int):
+        if self.c3k:
+            return C3k(c, c, 2, self.shortcut, self.g, dtype=self.dtype, name=f"m_{i}")
+        # NOTE: unlike C2f, the reference C3k2 keeps Bottleneck's default e=0.5
+        return Bottleneck(c, c, self.shortcut, self.g, k=(3, 3), e=0.5, dtype=self.dtype, name=f"m_{i}")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return _c2f_forward(self, x, train, int(self.c2 * self.e))
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling (reference: block.py:162)."""
+
+    c1: int
+    c2: int
+    k: Tuple[int, ...] = (5, 9, 13)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c1 // 2
+        x = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [x] + [max_pool2d(x, k, 1, k // 2) for k in self.k]
+        return Conv(c_ * (len(self.k) + 1), self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+class SPPF(nn.Module):
+    """SPP-Fast: 3 stacked k=5 maxpools == SPP(5,9,13) (reference: block.py:179)."""
+
+    c1: int
+    c2: int
+    k: int = 5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c1 // 2
+        y = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y]
+        for _ in range(3):
+            ys.append(max_pool2d(ys[-1], self.k, 1, self.k // 2))
+        return Conv(c_ * 4, self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+class Attention(nn.Module):
+    """YOLO11 position-sensitive MHSA with conv positional encoding
+    (reference: block.py:1878). Runs over the flattened spatial map; matmuls
+    accumulate in float32 on the MXU.
+    """
+
+    dim: int
+    num_heads: int = 8
+    attn_ratio: float = 0.5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        N = H * W
+        head_dim = self.dim // self.num_heads
+        key_dim = int(head_dim * self.attn_ratio)
+        scale = key_dim**-0.5
+        h = self.dim + key_dim * self.num_heads * 2
+
+        qkv = Conv(self.dim, h, 1, act=False, dtype=self.dtype, name="qkv")(x, train)
+        qkv = qkv.reshape(B, N, self.num_heads, key_dim * 2 + head_dim)
+        q = qkv[..., :key_dim]
+        k = qkv[..., key_dim : 2 * key_dim]
+        v = qkv[..., 2 * key_dim :]
+
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v, preferred_element_type=jnp.float32).astype(v.dtype)
+        out = out.reshape(B, H, W, C)
+        pe = Conv(self.dim, self.dim, 3, 1, g=self.dim, act=False, dtype=self.dtype, name="pe")(
+            v.reshape(B, H, W, C), train
+        )
+        return Conv(self.dim, self.dim, 1, act=False, dtype=self.dtype, name="proj")(out + pe, train)
+
+
+class PSABlock(nn.Module):
+    """Attention + 2-layer conv FFN with residuals (reference: block.py:1973)."""
+
+    c: int
+    attn_ratio: float = 0.5
+    num_heads: int = 4
+    shortcut: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = Attention(self.c, num_heads=self.num_heads, attn_ratio=self.attn_ratio, dtype=self.dtype, name="attn")(x, train)
+        x = x + a if self.shortcut else a
+        f = Conv(self.c, self.c * 2, 1, dtype=self.dtype, name="ffn_0")(x, train)
+        f = Conv(self.c * 2, self.c, 1, act=False, dtype=self.dtype, name="ffn_1")(f, train)
+        return x + f if self.shortcut else f
+
+
+class PSA(nn.Module):
+    """Split -> attention branch -> merge (reference: block.py:2057)."""
+
+    c1: int
+    c2: int
+    e: float = 0.5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.c1 == self.c2
+        c = int(self.c1 * self.e)
+        y = Conv(self.c1, 2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        a, b = jnp.split(y, 2, axis=-1)
+        at = Attention(c, attn_ratio=0.5, num_heads=c // 64, dtype=self.dtype, name="attn")(b, train)
+        b = b + at
+        f = Conv(c, c * 2, 1, dtype=self.dtype, name="ffn_0")(b, train)
+        f = Conv(c * 2, c, 1, act=False, dtype=self.dtype, name="ffn_1")(f, train)
+        b = b + f
+        return Conv(2 * c, self.c1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate((a, b), -1), train)
+
+
+class C2PSA(nn.Module):
+    """Stacked PSABlocks in a C2 wrapper (reference: block.py:2100)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    e: float = 0.5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.c1 == self.c2
+        c = int(self.c1 * self.e)
+        y = Conv(self.c1, 2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        a, b = jnp.split(y, 2, axis=-1)
+        for i in range(self.n):
+            b = PSABlock(c, attn_ratio=0.5, num_heads=max(c // 64, 1), dtype=self.dtype, name=f"m_{i}")(b, train)
+        return Conv(2 * c, self.c1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate((a, b), -1), train)
+
+
+class C2fPSA(nn.Module):
+    """C2f whose inner block is PSABlock (reference: block.py:2142)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    e: float = 0.5
+    dtype: Optional[Dtype] = None
+
+    def inner(self, c: int, i: int):
+        return PSABlock(c, attn_ratio=0.5, num_heads=max(c // 64, 1), dtype=self.dtype, name=f"m_{i}")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return _c2f_forward(self, x, train, int(self.c2 * self.e))
+
+
+class SCDown(nn.Module):
+    """v10 separable downsample: 1x1 pw + k/s dw (reference: block.py:2174)."""
+
+    c1: int
+    c2: int
+    k: int = 3
+    s: int = 2
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.c1, self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        return Conv(self.c2, self.c2, self.k, self.s, g=self.c2, act=False, dtype=self.dtype, name="cv2")(y, train)
+
+
+class RepVGGDW(nn.Module):
+    """Depthwise RepVGG block: 7x7 dw + 3x3 dw branches (reference: block.py:1757)."""
+
+    ed: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y1 = Conv(self.ed, self.ed, 7, 1, p=3, g=self.ed, act=False, dtype=self.dtype, name="conv")(x, train)
+        y2 = Conv(self.ed, self.ed, 3, 1, p=1, g=self.ed, act=False, dtype=self.dtype, name="conv1")(x, train)
+        return jax.nn.silu(y1 + y2)
+
+
+class CIB(nn.Module):
+    """v10 conditional identity block (reference: block.py:1819)."""
+
+    c1: int
+    c2: int
+    shortcut: bool = True
+    e: float = 0.5
+    lk: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = Conv(self.c1, self.c1, 3, g=self.c1, dtype=self.dtype, name="cv1_0")(x, train)
+        y = Conv(self.c1, 2 * c_, 1, dtype=self.dtype, name="cv1_1")(y, train)
+        if self.lk:
+            y = RepVGGDW(2 * c_, dtype=self.dtype, name="cv1_2")(y, train)
+        else:
+            y = Conv(2 * c_, 2 * c_, 3, g=2 * c_, dtype=self.dtype, name="cv1_2")(y, train)
+        y = Conv(2 * c_, self.c2, 1, dtype=self.dtype, name="cv1_3")(y, train)
+        y = Conv(self.c2, self.c2, 3, g=self.c2, dtype=self.dtype, name="cv1_4")(y, train)
+        return x + y if self.shortcut and self.c1 == self.c2 else y
+
+
+class C2fCIB(nn.Module):
+    """C2f with CIB inner blocks (reference: block.py:1858)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    lk: bool = False
+    g: int = 1
+    e: float = 0.5
+    dtype: Optional[Dtype] = None
+
+    def inner(self, c: int, i: int):
+        return CIB(c, c, self.shortcut, e=1.0, lk=self.lk, dtype=self.dtype, name=f"m_{i}")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return _c2f_forward(self, x, train, int(self.c2 * self.e))
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck (reference: block.py:567)."""
+
+    c1: int
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = GhostConv(self.c1, c_, 1, 1, dtype=self.dtype, name="conv_0")(x, train)
+        if self.s == 2:
+            y = DWConv(c_, c_, self.k, self.s, act=False, dtype=self.dtype, name="conv_1")(y, train)
+        y = GhostConv(c_, self.c2, 1, 1, act=False, dtype=self.dtype, name="conv_2")(y, train)
+        if self.s == 2:
+            sc = DWConv(self.c1, self.c1, self.k, self.s, act=False, dtype=self.dtype, name="shortcut_0")(x, train)
+            sc = Conv(self.c1, self.c2, 1, 1, act=False, dtype=self.dtype, name="shortcut_1")(sc, train)
+        else:
+            sc = x if self.c1 == self.c2 else None
+            if sc is None:
+                raise ValueError("GhostBottleneck s=1 requires c1 == c2")
+        return y + sc
+
+
+class BottleneckCSP(nn.Module):
+    """Original CSP bottleneck (reference: block.py:1285)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            a = Bottleneck(c_, c_, self.shortcut, self.g, e=1.0, dtype=self.dtype, name=f"m_{i}")(a, train)
+        a = conv2d(a, c_, 1, 1, 0, bias=False, dtype=self.dtype, name="cv3")
+        b = conv2d(x, c_, 1, 1, 0, bias=False, dtype=self.dtype, name="cv2")
+        y = jnp.concatenate((a, b), axis=-1)
+        y = batch_norm(y, train)
+        y = jax.nn.silu(y)
+        return Conv(2 * c_, self.c2, 1, 1, dtype=self.dtype, name="cv4")(y, train)
+
+
+class RepC3(nn.Module):
+    """RT-DETR RepC3 (reference: block.py:532)."""
+
+    c1: int
+    c2: int
+    n: int = 3
+    e: float = 1.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = RepConv(c_, c_, dtype=self.dtype, name=f"m_{i}")(a, train)
+        y = a + b
+        if c_ != self.c2:
+            y = Conv(c_, self.c2, 1, 1, dtype=self.dtype, name="cv3")(y, train)
+        return y
+
+
+class Proto(nn.Module):
+    """Segmentation mask prototype head (reference: block.py:87)."""
+
+    c1: int
+    c_: int = 256
+    c2: int = 32
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.c1, self.c_, 3, dtype=self.dtype, name="cv1")(x, train)
+        x = conv_transpose2d(x, self.c_, 2, 2, 0, bias=True, dtype=self.dtype, name="upsample")
+        x = Conv(self.c_, self.c_, 3, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c_, self.c2, 1, dtype=self.dtype, name="cv3")(x, train)
+
+
+class HGStem(nn.Module):
+    """PPHGNetV2 stem (reference: block.py:107)."""
+
+    c1: int
+    cm: int
+    c2: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.c1, self.cm, 3, 2, act="relu", dtype=self.dtype, name="stem1")(x, train)
+        x2 = Conv(self.cm, self.cm // 2, 2, 1, p=0, act="relu", dtype=self.dtype, name="stem2a")(
+            jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0))), train
+        )
+        x2 = Conv(self.cm // 2, self.cm, 2, 1, p=0, act="relu", dtype=self.dtype, name="stem2b")(
+            jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0))), train
+        )
+        x1 = max_pool2d(x, 2, 1, 0)  # ceil_mode pooling handled by pre-pad in torch; shapes match stem2 path
+        x = jnp.concatenate([x1, x2], axis=-1)
+        x = Conv(self.cm * 2, self.cm, 3, 2, act="relu", dtype=self.dtype, name="stem3")(x, train)
+        return Conv(self.cm, self.c2, 1, 1, act="relu", dtype=self.dtype, name="stem4")(x, train)
+
+
+class HGBlock(nn.Module):
+    """PPHGNetV2 block (reference: block.py:138)."""
+
+    c1: int
+    cm: int
+    c2: int
+    k: int = 3
+    n: int = 6
+    lightconv: bool = False
+    shortcut: bool = False
+    act: Union[bool, str] = "relu"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ys = [x]
+        cin = self.c1
+        for i in range(self.n):
+            if self.lightconv:
+                ys.append(LightConv(cin, self.cm, k=self.k, act=self.act, dtype=self.dtype, name=f"m_{i}")(ys[-1], train))
+            else:
+                ys.append(Conv(cin, self.cm, self.k, act=self.act, dtype=self.dtype, name=f"m_{i}")(ys[-1], train))
+            cin = self.cm
+        y = jnp.concatenate(ys, axis=-1)
+        y = Conv(self.c1 + self.n * self.cm, self.c2 // 2, 1, 1, act=self.act, dtype=self.dtype, name="sc")(y, train)
+        y = Conv(self.c2 // 2, self.c2, 1, 1, act=self.act, dtype=self.dtype, name="ec")(y, train)
+        return y + x if self.shortcut and self.c1 == self.c2 else y

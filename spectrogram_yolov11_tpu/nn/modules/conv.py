@@ -1,0 +1,453 @@
+"""Convolution-family modules (flax.linen, NHWC layout).
+
+TPU-native re-implementations of the conv module zoo of the reference
+framework (/root/reference/ultralytics/nn/modules/conv.py). Semantics match
+the torch originals exactly (explicit torch-style symmetric padding k//2, BN
+eps=1e-3 / momentum 0.03, SiLU default activation) so that converted .pt
+weights produce bit-comparable outputs; layout is NHWC and compute dtype is
+configurable (bfloat16 on TPU) while parameters stay float32.
+
+Submodule attribute names mirror the torch module names (cv1, conv, bn, ...)
+so that torch state_dict keys translate mechanically (utils/torch_compat.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def autopad(k, p=None, d=1):
+    """'same'-shape padding for odd kernels (reference: conv.py:56)."""
+    if d > 1:
+        k = d * (k - 1) + 1 if isinstance(k, int) else [d * (x - 1) + 1 for x in k]
+    if p is None:
+        p = k // 2 if isinstance(k, int) else [x // 2 for x in k]
+    return p
+
+
+def _pair(v) -> Tuple[int, int]:
+    return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+
+
+ACTS: dict[str, Callable] = {
+    "silu": jax.nn.silu,
+    "relu": jax.nn.relu,
+    "relu6": jax.nn.relu6,
+    "elu": jax.nn.elu,
+    "gelu": jax.nn.gelu,
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+    "hardswish": jax.nn.hard_swish,
+    "hardsigmoid": jax.nn.hard_sigmoid,
+    "leakyrelu": lambda x: jax.nn.leaky_relu(x, 0.01),
+    "identity": lambda x: x,
+}
+
+
+def get_act(act: Union[bool, str, Callable], default: str = "silu") -> Callable:
+    """Resolve an activation spec: True -> module default, False/None -> identity, str -> registry."""
+    if act is True:
+        return ACTS[default]
+    if act in (False, None):
+        return ACTS["identity"]
+    if callable(act):
+        return act
+    return ACTS[str(act).lower()]
+
+
+class ConvRaw(nn.Module):
+    """Bare conv2d with torch-style explicit padding; named to translate torch nn.Conv2d leaves."""
+
+    c2: int
+    k: Union[int, Tuple[int, int]] = 1
+    s: Union[int, Tuple[int, int]] = 1
+    p: Optional[Union[int, Tuple[int, int]]] = None
+    g: int = 1
+    d: int = 1
+    bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = _pair(self.k)
+        p = self.p
+        if p is None:
+            p = tuple(autopad(list(k), None, self.d))
+        p = _pair(p)
+        return nn.Conv(
+            features=self.c2,
+            kernel_size=k,
+            strides=_pair(self.s),
+            padding=[(p[0], p[0]), (p[1], p[1])],
+            feature_group_count=self.g,
+            kernel_dilation=_pair(self.d),
+            use_bias=self.bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="m",
+        )(x)
+
+
+def conv2d(x, c2, k=1, s=1, p=None, g=1, d=1, bias=False, dtype=None, name="conv"):
+    """Inline helper creating a torch-compatible nn.Conv inside @nn.compact bodies."""
+    kk = _pair(k)
+    if p is None:
+        p = tuple(autopad(list(kk), None, d))
+    pp = _pair(p)
+    return nn.Conv(
+        features=c2,
+        kernel_size=kk,
+        strides=_pair(s),
+        padding=[(pp[0], pp[0]), (pp[1], pp[1])],
+        feature_group_count=g,
+        kernel_dilation=_pair(d),
+        use_bias=bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )(x)
+
+
+def batch_norm(x, train: bool, name="bn"):
+    """BN matching the reference init (eps=1e-3, momentum=0.03 torch => 0.97 flax);
+    always computed in float32 for stability under bfloat16 activations."""
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.97,
+        epsilon=1e-3,
+        dtype=jnp.float32,
+        param_dtype=jnp.float32,
+        name=name,
+    )(x)
+
+
+class Conv(nn.Module):
+    """conv2d + BatchNorm + SiLU (reference: conv.py:65)."""
+
+    c1: int
+    c2: int
+    k: Union[int, Tuple[int, int]] = 1
+    s: Union[int, Tuple[int, int]] = 1
+    p: Optional[int] = None
+    g: int = 1
+    d: int = 1
+    act: Union[bool, str] = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_dt = x.dtype
+        x = conv2d(x, self.c2, self.k, self.s, self.p, self.g, self.d, False, self.dtype, "conv")
+        x = batch_norm(x, train)
+        return get_act(self.act)(x).astype(self.dtype or in_dt)
+
+
+class ConvE(nn.Module):
+    """Conv with ELU default activation (fork module, reference: conv.py:85)."""
+
+    c1: int
+    c2: int
+    k: Union[int, Tuple[int, int]] = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    d: int = 1
+    act: Union[bool, str] = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_dt = x.dtype
+        x = conv2d(x, self.c2, self.k, self.s, self.p, self.g, self.d, False, self.dtype, "conv")
+        x = batch_norm(x, train)
+        return get_act(self.act, default="elu")(x).astype(self.dtype or in_dt)
+
+
+class ConvGN(nn.Module):
+    """Conv with GroupNorm (fork module, reference: conv.py:105)."""
+
+    c1: int
+    c2: int
+    k: Union[int, Tuple[int, int]] = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    d: int = 1
+    act: Union[bool, str] = True
+    gn_groups: int = 32
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_dt = x.dtype
+        x = conv2d(x, self.c2, self.k, self.s, self.p, self.g, self.d, False, self.dtype, "conv")
+        groups = math.gcd(self.gn_groups, self.c2)
+        x = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="gn")(x)
+        return get_act(self.act)(x).astype(self.dtype or in_dt)
+
+
+class DWConv(nn.Module):
+    """Depthwise Conv: groups = gcd(c1, c2) (reference: conv.py:687)."""
+
+    c1: int
+    c2: int
+    k: Union[int, Tuple[int, int]] = 1
+    s: int = 1
+    d: int = 1
+    act: Union[bool, str] = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_dt = x.dtype
+        g = math.gcd(self.c1, self.c2)
+        x = conv2d(x, self.c2, self.k, self.s, None, g, self.d, False, self.dtype, "conv")
+        x = batch_norm(x, train)
+        return get_act(self.act)(x).astype(self.dtype or in_dt)
+
+
+class LightConv(nn.Module):
+    """1x1 conv + depthwise conv with ReLU (reference: conv.py:669)."""
+
+    c1: int
+    c2: int
+    k: int = 1
+    act: Union[bool, str] = "relu"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.c1, self.c2, 1, act=False, dtype=self.dtype, name="conv1")(x, train)
+        return DWConv(self.c2, self.c2, self.k, act=self.act, dtype=self.dtype, name="conv2")(x, train)
+
+
+class ConvTranspose(nn.Module):
+    """ConvTranspose2d + optional BN + act (reference: conv.py:951)."""
+
+    c1: int
+    c2: int
+    k: int = 2
+    s: int = 2
+    p: int = 0
+    bn: bool = True
+    act: Union[bool, str] = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_dt = x.dtype
+        x = conv_transpose2d(x, self.c2, self.k, self.s, self.p, bias=not self.bn, dtype=self.dtype, name="conv_transpose")
+        if self.bn:
+            x = batch_norm(x, train)
+        return get_act(self.act)(x).astype(self.dtype or in_dt)
+
+
+def conv_transpose2d(x, c2, k, s, p=0, bias=True, dtype=None, name="m"):
+    """torch-compatible ConvTranspose2d: lax.conv_transpose with kernel flip.
+
+    torch output size = (in-1)*s - 2p + k. We request VALID transpose then crop p
+    on each side, matching torch exactly for the configurations used here.
+    """
+    kk, ss, pp = _pair(k), _pair(s), _pair(p)
+    y = nn.ConvTranspose(
+        features=c2,
+        kernel_size=kk,
+        strides=ss,
+        padding="VALID",
+        use_bias=bias,
+        transpose_kernel=True,  # match torch gradient-of-conv semantics for weight sharing
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )(x)
+    if pp != (0, 0):
+        y = y[:, pp[0] : y.shape[1] - pp[0], pp[1] : y.shape[2] - pp[1], :]
+    return y
+
+
+class Focus(nn.Module):
+    """Space-to-depth 2x then conv (reference: conv.py:972)."""
+
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    act: Union[bool, str] = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # torch order: cat(x[..., ::2, ::2], x[..., 1::2, ::2], x[..., ::2, 1::2], x[..., 1::2, 1::2])
+        parts = (x[:, ::2, ::2, :], x[:, 1::2, ::2, :], x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :])
+        x = jnp.concatenate(parts, axis=-1)
+        return Conv(self.c1 * 4, self.c2, self.k, self.s, self.p, self.g, act=self.act, dtype=self.dtype, name="conv")(x, train)
+
+
+class GhostConv(nn.Module):
+    """Ghost Convolution: half real conv, half cheap dw conv (reference: conv.py:991)."""
+
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: Union[bool, str] = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = Conv(self.c1, c_, self.k, self.s, None, self.g, act=self.act, dtype=self.dtype, name="cv1")(x, train)
+        y2 = Conv(c_, c_, 5, 1, None, c_, act=self.act, dtype=self.dtype, name="cv2")(y, train)
+        return jnp.concatenate((y, y2), axis=-1)
+
+
+class RepConv(nn.Module):
+    """RepVGG-style re-parameterizable conv: 3x3 + 1x1 (+ identity BN) branches
+    summed pre-activation (reference: conv.py:1021). Deploy-time fusion is a
+    param transform (utils/fuse.py), not a separate module.
+    """
+
+    c1: int
+    c2: int
+    k: int = 3
+    s: int = 1
+    p: int = 1
+    g: int = 1
+    d: int = 1
+    act: Union[bool, str] = True
+    bn: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_dt = x.dtype
+        assert self.k == 3 and self.p == 1
+        y1 = Conv(self.c1, self.c2, self.k, self.s, p=self.p, g=self.g, act=False, dtype=self.dtype, name="conv1")(x, train)
+        y2 = Conv(self.c1, self.c2, 1, self.s, p=self.p - self.k // 2, g=self.g, act=False, dtype=self.dtype, name="conv2")(x, train)
+        ident = 0
+        if self.bn and self.c2 == self.c1 and self.s == 1:
+            ident = batch_norm(x, train, name="bn")
+        return get_act(self.act)(y1 + y2 + ident).astype(self.dtype or in_dt)
+
+
+class ChannelAttention(nn.Module):
+    """Global-avg-pool -> 1x1 conv -> sigmoid channel gate (reference: conv.py:1125)."""
+
+    channels: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        gate = conv2d(pooled, self.channels, 1, 1, 0, bias=True, dtype=self.dtype, name="fc")
+        return x * jax.nn.sigmoid(gate)
+
+
+class SpatialAttention(nn.Module):
+    """Spatial gate from channel mean+max maps (reference: conv.py:1140)."""
+
+    kernel_size: int = 7
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        stat = jnp.concatenate([jnp.mean(x, axis=-1, keepdims=True), jnp.max(x, axis=-1, keepdims=True)], axis=-1)
+        gate = conv2d(stat, 1, self.kernel_size, 1, self.kernel_size // 2, bias=False, dtype=self.dtype, name="cv1")
+        return x * jax.nn.sigmoid(gate)
+
+
+class CBAM(nn.Module):
+    """Channel then spatial attention (reference: conv.py:1245)."""
+
+    c1: int
+    kernel_size: int = 7
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ChannelAttention(self.c1, dtype=self.dtype, name="channel_attention")(x, train)
+        return SpatialAttention(self.kernel_size, dtype=self.dtype, name="spatial_attention")(x, train)
+
+
+class Concat(nn.Module):
+    """Concatenate a list of tensors along channels (yaml dim=1 in NCHW == axis -1 here)."""
+
+    dimension: int = 1
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        axis = -1 if self.dimension == 1 else self.dimension
+        return jnp.concatenate(list(xs), axis=axis)
+
+
+class Index(nn.Module):
+    """Select one tensor from a list of inputs (reference: conv.py:1823)."""
+
+    index: int = 0
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        return xs[self.index]
+
+
+class Upsample(nn.Module):
+    """nn.Upsample equivalent; exact nearest-neighbor for integer scale factors."""
+
+    size: Optional[int] = None
+    scale_factor: Optional[float] = 2.0
+    mode: str = "nearest"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        if self.size is not None:
+            nh, nw = _pair(self.size)
+        else:
+            nh, nw = int(h * self.scale_factor), int(w * self.scale_factor)
+        if self.mode == "nearest" and nh % h == 0 and nw % w == 0:
+            return jnp.repeat(jnp.repeat(x, nh // h, axis=1), nw // w, axis=2)
+        method = {"nearest": "nearest", "bilinear": "linear"}[self.mode]
+        return jax.image.resize(x, (b, nh, nw, c), method=method)
+
+
+class MaxPool2d(nn.Module):
+    """torch nn.MaxPool2d equivalent (used standalone in some fork yamls)."""
+
+    k: int
+    s: Optional[int] = None
+    p: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = self.s if self.s is not None else self.k
+        return max_pool2d(x, self.k, s, self.p)
+
+
+def max_pool2d(x, k, s, p):
+    """Max pool with torch-style symmetric padding (pads with -inf)."""
+    kk, ss, pp = _pair(k), _pair(s), _pair(p)
+    return nn.max_pool(x, kk, strides=ss, padding=[(pp[0], pp[0]), (pp[1], pp[1])])
+
+
+def avg_pool2d(x, k, s=None, p=0):
+    kk = _pair(k)
+    ss = _pair(s) if s is not None else kk
+    pp = _pair(p)
+    return nn.avg_pool(x, kk, strides=ss, padding=[(pp[0], pp[0]), (pp[1], pp[1])])
+
+
+def adaptive_avg_pool2d(x, out=1):
+    """AdaptiveAvgPool2d((1,1)) equivalent."""
+    if out == 1:
+        return jnp.mean(x, axis=(1, 2), keepdims=True)
+    raise NotImplementedError

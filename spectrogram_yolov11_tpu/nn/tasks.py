@@ -1,0 +1,432 @@
+"""YAML -> network graph compiler and task model wrappers.
+
+TPU-native counterpart of the reference graph builder
+(/root/reference/ultralytics/nn/tasks.py: parse_model:963, DetectionModel:329).
+A model YAML ("backbone" + "head" lists of [from, repeats, module, args]) is
+compiled once into a static flax.linen graph (`YOLOGraph`) whose forward is a
+pure function — the whole network is one XLA program under jit. Depth/width/
+max-channel scaling per model scale (n/s/m/l/x) matches the reference exactly
+so configs are interchangeable.
+
+Differences from the reference (deliberate, TPU-first):
+- layout is NHWC, params live in a flax variables pytree {params, batch_stats};
+- heads return raw feature maps; decode/NMS are fused jitted ops (ops/decode.py);
+- stride calibration uses jax.eval_shape (no real forward needed).
+"""
+
+from __future__ import annotations
+
+import ast
+import contextlib
+import math
+import re
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax.core import FrozenDict
+
+from spectrogram_yolov11_tpu.cfg import find_model_yaml
+from spectrogram_yolov11_tpu.nn import modules as M
+from spectrogram_yolov11_tpu.utils import LOGGER, colorstr, make_divisible, yaml_load
+
+# ---------------------------------------------------------------------------
+# Module registry (yaml name -> linen class)
+# ---------------------------------------------------------------------------
+
+MODULE_REGISTRY: Dict[str, Any] = {
+    # conv family
+    "Conv": M.Conv,
+    "ConvE": M.ConvE,
+    "ConvGN": M.ConvGN,
+    "DWConv": M.DWConv,
+    "LightConv": M.LightConv,
+    "ConvTranspose": M.ConvTranspose,
+    "Focus": M.Focus,
+    "GhostConv": M.GhostConv,
+    "RepConv": M.RepConv,
+    "CBAM": M.CBAM,
+    "ChannelAttention": M.ChannelAttention,
+    "SpatialAttention": M.SpatialAttention,
+    "Concat": M.Concat,
+    "Index": M.Index,
+    # blocks
+    "Bottleneck": M.Bottleneck,
+    "BottleneckCSP": M.BottleneckCSP,
+    "GhostBottleneck": M.GhostBottleneck,
+    "C1": M.C1,
+    "C2": M.C2,
+    "C2f": M.C2f,
+    "C3": M.C3,
+    "C3k": M.C3k,
+    "C3k2": M.C3k2,
+    "C2PSA": M.C2PSA,
+    "C2fPSA": M.C2fPSA,
+    "C2fCIB": M.C2fCIB,
+    "PSA": M.PSA,
+    "PSABlock": M.PSABlock,
+    "SPP": M.SPP,
+    "SPPF": M.SPPF,
+    "SCDown": M.SCDown,
+    "RepC3": M.RepC3,
+    "RepVGGDW": M.RepVGGDW,
+    "HGStem": M.HGStem,
+    "HGBlock": M.HGBlock,
+    "Proto": M.Proto,
+    # torch-namespace passthroughs
+    "nn.Upsample": M.Upsample,
+    "nn.MaxPool2d": M.MaxPool2d,
+    "nn.Identity": None,  # handled inline
+    # heads
+    "Detect": M.Detect,
+    "Segment": M.Segment,
+    "Pose": M.Pose,
+    "OBB": M.OBB,
+    "Classify": M.Classify,
+}
+
+BASE_MODULES = {
+    M.Conv, M.ConvE, M.ConvGN, M.ConvTranspose, M.GhostConv, M.Bottleneck, M.GhostBottleneck,
+    M.SPP, M.SPPF, M.C2fPSA, M.C2PSA, M.DWConv, M.Focus, M.BottleneckCSP, M.C1, M.C2, M.C2f,
+    M.C3k2, M.C3, M.C3k, M.RepC3, M.PSA, M.CBAM, M.SCDown, M.C2fCIB, M.Classify, M.LightConv,
+    M.RepConv,
+}
+REPEAT_MODULES = {M.BottleneckCSP, M.C1, M.C2, M.C2f, M.C3k2, M.C3, M.RepC3, M.C2fPSA, M.C2fCIB, M.C2PSA, M.C3k}
+HEAD_MODULES = {M.Detect, M.Segment, M.Pose, M.OBB}
+SCALE_SENSITIVE = {M.C3k2}  # modules whose args flip on m/l/x scales
+
+# Module classes that accept a `dtype` field
+_DTYPED = {cls for cls in MODULE_REGISTRY.values() if cls is not None and "dtype" in getattr(cls, "__dataclass_fields__", {})}
+
+
+class LayerSpec:
+    """Static description of one graph layer (hashable, used as linen field)."""
+
+    __slots__ = ("i", "f", "n", "cls", "args", "kwargs", "type")
+
+    def __init__(self, i, f, n, cls, args, kwargs, type_):
+        self.i, self.f, self.n, self.cls, self.args, self.kwargs, self.type = i, f, n, cls, tuple(args), tuple(sorted(kwargs.items())), type_
+
+    def build(self, name: str, dtype=None):
+        kw = dict(self.kwargs)
+        if dtype is not None and self.cls in _DTYPED:
+            kw["dtype"] = dtype
+        return self.cls(*self.args, name=name, **kw)
+
+    def __hash__(self):
+        return hash((self.i, str(self.f), self.n, self.cls, self.args, self.kwargs))
+
+    def __eq__(self, o):
+        return isinstance(o, LayerSpec) and (self.i, self.f, self.n, self.cls, self.args, self.kwargs) == (
+            o.i, o.f, o.n, o.cls, o.args, o.kwargs,
+        )
+
+    def __repr__(self):
+        return f"LayerSpec({self.i}, from={self.f}, n={self.n}, {self.cls.__name__ if self.cls else 'Identity'}{list(self.args)})"
+
+
+def _listify(a):
+    """YAML lists -> tuples recursively (specs must be hashable)."""
+    if isinstance(a, list):
+        return tuple(_listify(x) for x in a)
+    return a
+
+
+def parse_model(d: dict, ch: int, verbose: bool = True) -> Tuple[List[LayerSpec], List[int], List[int]]:
+    """Compile a model yaml dict into layer specs + save list + out channels.
+
+    Mirrors the scaling semantics of the reference parse_model
+    (nn/tasks.py:963): depth gain on repeats, width gain + max_channels clamp
+    with make_divisible(…, 8) on channels, C3k2 c3k=True on m/l/x, legacy-flag
+    propagation into Detect-family heads.
+    """
+    legacy = True
+    max_channels = float("inf")
+    nc, act, scales = (d.get(x) for x in ("nc", "activation", "scales"))
+    depth, width, kpt_shape = (d.get(x, 1.0) for x in ("depth_multiple", "width_multiple", "kpt_shape"))
+    scale = d.get("scale")
+    if scales:
+        if not scale:
+            scale = tuple(scales.keys())[0]
+            LOGGER.warning(f"WARNING: no model scale passed. Assuming scale='{scale}'.")
+        depth, width, max_channels = scales[scale]
+
+    if verbose:
+        LOGGER.info(f"{'':>3}{'from':>20}{'n':>3}  {'module':<45}{'arguments':<30}")
+
+    eval_ctx = {"nc": nc, "kpt_shape": kpt_shape}
+    ch_list = [ch]
+    specs: List[LayerSpec] = []
+    save: List[int] = []
+    for i, (f, n, m, args) in enumerate(d["backbone"] + d["head"]):
+        cls = MODULE_REGISTRY.get(m)
+        if m not in MODULE_REGISTRY:
+            raise KeyError(f"Unknown module '{m}' in model yaml (layer {i}). Known: {sorted(MODULE_REGISTRY)}")
+        args = list(args)
+        for j, a in enumerate(args):
+            if isinstance(a, str):
+                if a in eval_ctx:
+                    args[j] = eval_ctx[a]
+                else:
+                    with contextlib.suppress(ValueError, SyntaxError):
+                        args[j] = ast.literal_eval(a)
+        n_ = n = max(round(n * depth), 1) if n > 1 else n
+        kwargs: Dict[str, Any] = {}
+
+        if cls in BASE_MODULES:
+            c1, c2 = ch_list[f], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c1, c2, *args[1:]]
+            if cls in REPEAT_MODULES:
+                args.insert(2, n)
+                n = 1
+            if cls in SCALE_SENSITIVE:
+                legacy = False
+                if scale in "mlx":
+                    if len(args) > 3:
+                        args[3] = True
+                    else:
+                        args.append(True)
+        elif cls is M.Concat:
+            c2 = sum(ch_list[x] for x in f)
+        elif cls is M.Index:
+            c2 = args[0]
+            args = args[1:]
+        elif cls in HEAD_MODULES:
+            args.append(tuple(ch_list[x] for x in f))
+            if cls is M.Segment:
+                args[2] = make_divisible(min(args[2], max_channels) * width, 8)
+            kwargs["legacy"] = legacy
+            c2 = None
+        elif cls is M.Upsample or cls is M.MaxPool2d or cls is None:
+            c2 = ch_list[f]
+        else:
+            c2 = ch_list[f]
+
+        spec = LayerSpec(i, _listify(f), n, cls, [_listify(a) for a in args], kwargs, m)
+        specs.append(spec)
+        save.extend(x % i for x in ([f] if isinstance(f, int) else f) if x != -1)
+        if verbose:
+            LOGGER.info(f"{i:>3}{str(f):>20}{n_:>3}  {m:<45}{str(args):<30}")
+        if i == 0:
+            ch_list = []
+        ch_list.append(c2)
+    return specs, sorted(set(save)), ch_list
+
+
+class YOLOGraph(nn.Module):
+    """The compiled network: a static layer list with skip-connection routing.
+
+    Equivalent of the reference BaseModel._predict_once loop (nn/tasks.py:161)
+    but as a pure traced function — the Python loop unrolls at trace time into
+    one fused XLA program.
+    """
+
+    specs: Tuple[LayerSpec, ...]
+    save: Tuple[int, ...]
+    dtype: Optional[Any] = None
+
+    def setup(self):
+        layers = []
+        for s in self.specs:
+            if s.cls is None:  # nn.Identity
+                layers.append(None)
+            elif s.n > 1:
+                layers.append(tuple(s.build(f"model_{s.i}_{j}", self.dtype) for j in range(s.n)))
+            else:
+                layers.append(s.build(f"model_{s.i}", self.dtype))
+        self.layers = layers
+
+    def __call__(self, x, train: bool = False, embed: Optional[Tuple[int, ...]] = None):
+        y: List[Any] = []
+        embeddings = []
+        for idx, (spec, m) in enumerate(zip(self.specs, self.layers)):
+            f = spec.f
+            if f != -1:
+                x = y[f] if isinstance(f, int) else [x if j == -1 else y[j] for j in f]
+            if m is None:
+                pass
+            elif isinstance(m, tuple):
+                for mm in m:
+                    x = mm(x, train=train)
+            else:
+                x = m(x, train=train)
+            y.append(x if idx in self.save else None)
+            if embed and idx in embed:
+                feat = x
+                embeddings.append(jnp.mean(feat, axis=(1, 2)) if feat.ndim == 4 else feat)
+        if embed:
+            return jnp.concatenate(embeddings, axis=-1)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Task models
+# ---------------------------------------------------------------------------
+
+
+def yaml_model_load(path: str | Path) -> dict:
+    """Load a model yaml, inferring scale from filenames like yolo11n.yaml."""
+    path = Path(str(path))
+    name = path.stem
+    m = re.match(r"^(.*?)(\d+)([nslmx])([-_].*)?$", name) or re.match(r"^(yolo\w*?)([nslmx])([-_].*)?$", name)
+    scale = None
+    if m:
+        groups = m.groups()
+        scale = groups[2] if len(groups) == 4 else groups[1]
+    resolved = find_model_yaml(path)
+    d = yaml_load(resolved, append_filename=True)
+    d["scale"] = d.get("scale") or scale or (tuple(d["scales"].keys())[0] if d.get("scales") else None)
+    d["yaml_name"] = name
+    return d
+
+
+def guess_model_task(d: dict) -> str:
+    """Infer task from the final head module of a model yaml."""
+    head = d["head"][-1][2]
+    return {"Detect": "detect", "Segment": "segment", "Pose": "pose", "OBB": "obb", "Classify": "classify"}.get(
+        head.split(".")[-1], "detect"
+    )
+
+
+class BaseModel:
+    """Functional task model: compiled graph + static metadata + param helpers.
+
+    Not a linen module — holds the graph and exposes init/apply. All state
+    (params, batch_stats, EMA, optimizer) lives in explicit pytrees owned by
+    the caller (engine/trainer.py), reference-style mutable Modules do not
+    exist here.
+    """
+
+    task = "detect"
+
+    def __init__(self, cfg: Union[str, Path, dict] = "yolo11n.yaml", ch: int = 3, nc: Optional[int] = None,
+                 verbose: bool = True, dtype: Optional[Any] = None):
+        self.yaml = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
+        self.yaml_file = self.yaml.get("yaml_file", "")
+        if nc and nc != self.yaml.get("nc"):
+            LOGGER.info(f"Overriding model.yaml nc={self.yaml.get('nc')} with nc={nc}")
+            self.yaml["nc"] = nc
+        self.nc = self.yaml["nc"]
+        self.ch = ch
+        self.dtype = dtype
+        self.specs, self.save, self.ch_list = parse_model(dict(self.yaml), ch, verbose=verbose)
+        self.graph = YOLOGraph(specs=tuple(self.specs), save=tuple(self.save), dtype=dtype)
+        self.names = {i: f"{i}" for i in range(self.nc)}
+        self.head_spec = self.specs[-1]
+        self.stride = self._calibrate_stride()
+        self.args: dict = {}
+
+    # -- shape/stride calibration (reference: nn/tasks.py:354 dummy forward) --
+    def _calibrate_stride(self) -> np.ndarray:
+        if self.head_spec.cls not in HEAD_MODULES:
+            return np.array([32.0])
+        s = 256
+        dummy = jnp.zeros((1, s, s, self.ch), jnp.float32)
+        v_shape = jax.eval_shape(lambda: self.graph.init(jax.random.PRNGKey(0), dummy, train=False))
+        out = jax.eval_shape(lambda v: self.graph.apply(v, dummy, train=False), v_shape)
+        feats = out[0] if isinstance(out, tuple) else out  # Segment/Pose/OBB return tuples
+        if isinstance(feats, dict):
+            feats = feats["one2many"]
+        return np.array([s / f.shape[1] for f in feats], np.float32)
+
+    # -- parameter lifecycle --
+    def init(self, rng: jax.Array, imgsz: int = 64) -> dict:
+        """Create variables {params, batch_stats} with reference bias init.
+
+        Parameter shapes are independent of spatial size, so a small dummy
+        input keeps un-jitted init cheap; pass a stride multiple >= 32.
+        """
+        dummy = jnp.zeros((1, int(imgsz), int(imgsz), self.ch), jnp.float32)
+        variables = jax.jit(self.graph.init, static_argnames=("train",))(rng, dummy, train=False)
+        variables = _to_mutable(variables)
+        self._bias_init(variables)
+        # keep leaves on device — host numpy leaves would re-upload params on every call
+        return jax.device_put(variables)
+
+    def _bias_init(self, variables: dict) -> None:
+        if self.head_spec.cls not in HEAD_MODULES:
+            return
+        name = f"model_{self.head_spec.i}"
+        sub = variables["params"].get(name)
+        if sub is None:
+            return
+        if self.head_spec.cls is not M.Detect:
+            sub = sub.get("detect", sub)
+        M.detect_bias_init(sub, self.stride, self.nc)
+
+    def apply(self, variables: dict, x: jax.Array, train: bool = False):
+        """Pure forward. In train mode returns (out, new_batch_stats)."""
+        if train:
+            out, mut = self.graph.apply(variables, x, train=True, mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+        return self.graph.apply(variables, x, train=False)
+
+    def info(self, variables: Optional[dict] = None) -> str:
+        n_layers = len(self.specs)
+        n_params = (
+            sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"])) if variables else 0
+        )
+        msg = f"{self.yaml.get('yaml_name', 'model')} summary: {n_layers} layers, {n_params:,} parameters"
+        LOGGER.info(msg)
+        return msg
+
+
+def _to_mutable(tree):
+    if isinstance(tree, (FrozenDict, dict)):
+        return {k: _to_mutable(v) for k, v in tree.items()}
+    return tree
+
+
+class DetectionModel(BaseModel):
+    """YOLO detection model (reference: nn/tasks.py:329)."""
+
+    task = "detect"
+
+
+class SegmentationModel(BaseModel):
+    task = "segment"
+
+
+class PoseModel(BaseModel):
+    task = "pose"
+
+    def __init__(self, cfg="yolo11n-pose.yaml", ch=3, nc=None, data_kpt_shape=(None, None), verbose=True, dtype=None):
+        yaml_d = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
+        if any(data_kpt_shape) and list(data_kpt_shape) != list(yaml_d.get("kpt_shape", [])):
+            yaml_d["kpt_shape"] = list(data_kpt_shape)
+        super().__init__(yaml_d, ch=ch, nc=nc, verbose=verbose, dtype=dtype)
+        self.kpt_shape = tuple(self.yaml.get("kpt_shape", (17, 3)))
+
+
+class OBBModel(BaseModel):
+    task = "obb"
+
+
+class ClassificationModel(BaseModel):
+    task = "classify"
+
+    def _calibrate_stride(self):
+        return np.array([1.0])
+
+
+TASK2MODELCLS = {
+    "detect": DetectionModel,
+    "segment": SegmentationModel,
+    "pose": PoseModel,
+    "obb": OBBModel,
+    "classify": ClassificationModel,
+}
+
+
+def build_model(cfg: Union[str, Path, dict], ch: int = 3, nc: Optional[int] = None, verbose: bool = True,
+                dtype: Optional[Any] = None, task: Optional[str] = None) -> BaseModel:
+    """Factory: load yaml, guess task, construct the right task model."""
+    d = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
+    task = task or guess_model_task(d)
+    cls = TASK2MODELCLS[task]
+    return cls(d, ch=ch, nc=nc, verbose=verbose, dtype=dtype)

@@ -1,0 +1,65 @@
+"""Graph compiler + forward shape tests (fast, no oracle)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectrogram_yolov11_tpu.nn.tasks import build_model, parse_model, yaml_model_load
+
+
+def test_parse_yolo11n():
+    d = yaml_model_load("yolo11n.yaml")
+    specs, save, ch = parse_model(dict(d), 3, verbose=False)
+    assert len(specs) == 24
+    assert save == [4, 6, 10, 13, 16, 19, 22]
+    assert ch[-2] == 256  # P5 width at n-scale: 1024*0.25
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    m = build_model("yolo11n.yaml", verbose=False)
+    v = m.init(jax.random.PRNGKey(0))
+    return m, v
+
+
+def test_stride_calibration(model_and_vars):
+    m, _ = model_and_vars
+    assert list(m.stride) == [8.0, 16.0, 32.0]
+
+
+def test_param_count_matches_reference(model_and_vars):
+    # reference yolo11n: 2,624,080 params incl. 16 frozen DFL weights (pure fn here)
+    m, v = model_and_vars
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v["params"]))
+    assert n == 2_624_080 - 16
+
+
+def test_forward_shapes(model_and_vars):
+    m, v = model_and_vars
+    x = jnp.zeros((2, 64, 64, 3))
+    out = jax.jit(lambda v, x: m.apply(v, x))(v, x)
+    assert [o.shape for o in out] == [(2, 8, 8, 144), (2, 4, 4, 144), (2, 2, 2, 144)]
+    # train mode returns (out, new_batch_stats)
+    out_t, bs = jax.jit(lambda v, x: m.apply(v, x, train=True))(v, x)
+    assert [o.shape for o in out_t] == [(2, 8, 8, 144), (2, 4, 4, 144), (2, 2, 2, 144)]
+    assert set(bs.keys()) == set(v["batch_stats"].keys())
+
+
+def test_bias_init_values(model_and_vars):
+    m, v = model_and_vars
+    head = v["params"]["model_23"]
+    assert float(head["cv2_0_2"]["bias"][0]) == 1.0
+    np.testing.assert_allclose(
+        float(head["cv3_0_2"]["bias"][0]), np.log(5 / 80 / (640 / 8) ** 2), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(head["cv3_2_2"]["bias"][0]), np.log(5 / 80 / (640 / 32) ** 2), rtol=1e-6
+    )
+
+
+def test_scales_build():
+    # scale parsing only (no init -> no compile): s-scale widths double n-scale
+    m = build_model("yolo11s.yaml", verbose=False)
+    assert list(m.stride) == [8.0, 16.0, 32.0]
+    assert m.specs[0].args[1] == 32  # 64 * 0.50

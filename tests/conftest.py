@@ -17,15 +17,19 @@ sys.path.insert(0, str(Path(__file__).parent))  # for tests.oracle imports
 import pytest  # noqa: E402
 
 
-def _enable_compile_cache():
+def _force_cpu_and_cache():
     import jax
 
+    # The axon TPU plugin force-registers itself over JAX_PLATFORMS env; the
+    # config knob below is the reliable way to pin tests to the virtual
+    # 8-device CPU mesh (and keeps the single real TPU free for benches).
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent.parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-_enable_compile_cache()
+_force_cpu_and_cache()
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,106 @@
+"""TAL assigner + detection loss parity vs the reference torch implementation,
+with identical converted weights and an identical synthetic batch."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spectrogram_yolov11_tpu.nn.tasks import build_model
+from spectrogram_yolov11_tpu.ops.losses import detection_loss
+from spectrogram_yolov11_tpu.utils.torch_compat import load_state_into_variables, torch_state_to_variables
+
+torch = pytest.importorskip("torch")
+
+IMGSZ = 96
+NC = 8
+
+
+def _synth_batch(rng, b=2, max_gt=12):
+    """Random images + GT boxes, both torch-format (flat) and ours (padded)."""
+    imgs = rng.uniform(0, 1, (b, 3, IMGSZ, IMGSZ)).astype(np.float32)
+    n_per = [5, 3]
+    cls_pad = np.zeros((b, max_gt), np.int32)
+    box_pad = np.zeros((b, max_gt, 4), np.float32)
+    mask = np.zeros((b, max_gt), bool)
+    flat_cls, flat_box, flat_idx = [], [], []
+    for bi, n in enumerate(n_per):
+        c = rng.integers(0, NC, n)
+        xy = rng.uniform(0.25, 0.75, (n, 2))
+        wh = rng.uniform(0.1, 0.4, (n, 2))
+        bx = np.concatenate([xy, wh], -1).astype(np.float32)
+        cls_pad[bi, :n] = c
+        box_pad[bi, :n] = bx
+        mask[bi, :n] = True
+        flat_cls.append(c)
+        flat_box.append(bx)
+        flat_idx.append(np.full(n, bi))
+    return imgs, cls_pad, box_pad, mask, np.concatenate(flat_cls), np.concatenate(flat_box), np.concatenate(flat_idx)
+
+
+@pytest.fixture(scope="module")
+def models():
+    from oracle import torch_detection_model
+
+    tm = torch_detection_model("yolo11n.yaml", nc=NC, seed=5)
+    from types import SimpleNamespace
+
+    tm.args = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
+    jm = build_model({**__import__("spectrogram_yolov11_tpu.nn.tasks", fromlist=["yaml_model_load"]).yaml_model_load("yolo11n.yaml"), "nc": NC}, nc=NC, verbose=False)
+    v = jm.init(jax.random.PRNGKey(0))
+    state = {k: p.detach().numpy() for k, p in tm.state_dict().items()}
+    v = load_state_into_variables(v, torch_state_to_variables(state), strict=True)
+    return tm, jm, v
+
+
+def test_detection_loss_parity(models):
+    tm, jm, v = models
+    rng = np.random.default_rng(11)
+    imgs, cls_pad, box_pad, mask, fc, fb, fi = _synth_batch(rng)
+
+    batch_t = {
+        "img": torch.from_numpy(imgs),
+        "cls": torch.from_numpy(fc.reshape(-1, 1).astype(np.float32)),
+        "bboxes": torch.from_numpy(fb),
+        "batch_idx": torch.from_numpy(fi.astype(np.float32)),
+    }
+    tm.train()
+    for mod in tm.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.eval()
+    t_total, t_items = tm.loss(batch_t)
+    t_total = float(t_total.detach())
+    t_items = t_items.detach().numpy()
+
+    # torch side ran with BN in eval (running stats); match that here
+    feats = jm.apply(v, jnp.asarray(imgs.transpose(0, 2, 3, 1)), train=False)
+    j_total, j_items = detection_loss(
+        feats, jnp.asarray(cls_pad), jnp.asarray(box_pad), jnp.asarray(mask),
+        nc=NC, imgsz=IMGSZ, strides=tuple(float(s) for s in jm.stride),
+    )
+    np.testing.assert_allclose(np.asarray(j_items), t_items, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(float(j_total), t_total, rtol=2e-3)
+
+
+def test_loss_gradients_finite(models):
+    _, jm, v = models
+    rng = np.random.default_rng(3)
+    imgs, cls_pad, box_pad, mask, *_ = _synth_batch(rng)
+
+    def loss_fn(params):
+        feats, _ = jm.graph.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            jnp.asarray(imgs.transpose(0, 2, 3, 1)), train=True, mutable=["batch_stats"],
+        )[0], None
+        total, _ = detection_loss(
+            feats, jnp.asarray(cls_pad), jnp.asarray(box_pad), jnp.asarray(mask),
+            nc=NC, imgsz=IMGSZ, strides=tuple(float(s) for s in jm.stride),
+        )
+        return total
+
+    g = jax.grad(loss_fn)(v["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    gn = float(sum(jnp.sum(l**2) for l in leaves) ** 0.5)
+    assert gn > 0, "zero gradient"

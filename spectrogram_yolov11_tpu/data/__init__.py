@@ -1,0 +1,2 @@
+from .dataset import ClassificationDataset, YOLODataset, check_det_dataset  # noqa: F401
+from .build import DataLoader, build_dataloader, collate  # noqa: F401

@@ -1,0 +1,270 @@
+"""Datasets: YOLO-format detection datasets + label caching.
+
+Counterpart of the reference data layer (/root/reference/ultralytics/data/
+base.py:21 BaseDataset, dataset.py:45 YOLODataset, utils.py:97
+verify_image_label): image-dir discovery, label-txt parsing, hash-keyed label
+cache, long-side-resize image loading, optional RAM cache.
+
+Deviation (TPU-first): no torch Dataset/DataLoader — the loader
+(data/build.py) is a thread-pool prefetcher producing fixed-shape numpy
+batches, because the device wants static shapes and the host work is
+cv2/numpy (GIL-free).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from spectrogram_yolov11_tpu.utils import LOGGER, yaml_load
+from spectrogram_yolov11_tpu.cfg import find_dataset_yaml
+
+IMG_FORMATS = {"bmp", "jpeg", "jpg", "png", "tif", "tiff", "webp"}
+
+
+def img2label_path(img_path: str) -> str:
+    """images/xxx.jpg -> labels/xxx.txt (reference: data/utils.py:48)."""
+    sa, sb = f"{Path(img_path).parent.parent.name}", ""
+    p = Path(img_path)
+    parts = list(p.parts)
+    for i in range(len(parts) - 1, -1, -1):
+        if parts[i] == "images":
+            parts[i] = "labels"
+            break
+    return str(Path(*parts).with_suffix(".txt"))
+
+
+def check_det_dataset(data: str | Path | dict) -> dict:
+    """Parse/validate a dataset yaml (reference: data/utils.py:301), resolving
+    train/val paths relative to `path`. No auto-download (zero-egress image);
+    missing paths raise with a clear message."""
+    if isinstance(data, (str, Path)):
+        data = yaml_load(find_dataset_yaml(data), append_filename=True)
+    data = dict(data)
+    for k in ("train", "val"):
+        if k not in data and k == "val" and "validation" in data:
+            data["val"] = data.pop("validation")
+    if "names" not in data and "nc" not in data:
+        raise KeyError("dataset yaml must define 'names' or 'nc'")
+    if "names" not in data:
+        data["names"] = {i: f"class_{i}" for i in range(data["nc"])}
+    elif isinstance(data["names"], (list, tuple)):
+        data["names"] = dict(enumerate(data["names"]))
+    data["nc"] = len(data["names"])
+    root = Path(data.get("path") or Path(data.get("yaml_file", ".")).parent)
+    if not root.is_absolute():
+        root = (Path(data.get("yaml_file", ".")).parent / root).resolve()
+    data["path"] = root
+    for k in ("train", "val", "test"):
+        if data.get(k):
+            p = Path(data[k])
+            data[k] = str(p if p.is_absolute() else root / p)
+    if data.get("val") and not Path(data["val"]).exists():
+        # synthetic datasets materialize on first use (data/synth.py)
+        from spectrogram_yolov11_tpu.data.synth import maybe_generate
+
+        if not maybe_generate(data):
+            raise FileNotFoundError(f"Dataset 'val' path not found: {data['val']} (no internet in this environment)")
+    return data
+
+
+class YOLODataset:
+    """Detection dataset over an images dir + YOLO label txts."""
+
+    def __init__(
+        self,
+        img_path: str | Path,
+        imgsz: int = 640,
+        augment: bool = False,
+        hyp=None,
+        nc: int = 80,
+        max_gt: int = 128,
+        single_cls: bool = False,
+        fraction: float = 1.0,
+        cache: bool | str = False,
+    ):
+        self.img_path = Path(img_path)
+        self.imgsz = imgsz
+        self.nc = nc
+        self.max_gt = max_gt
+        self.single_cls = single_cls
+        self.im_files = self._find_images(fraction)
+        self.label_files = [img2label_path(f) for f in self.im_files]
+        self.labels = self._load_labels()
+        self.cache_ram = cache in (True, "ram")
+        self._im_cache: Dict[int, np.ndarray] = {}
+        from .augment import TrainTransform, ValTransform
+
+        if augment:
+            self.transform = TrainTransform(self, imgsz, hyp, max_gt=max_gt)
+        else:
+            self.transform = ValTransform(imgsz, max_gt=max_gt)
+        self.augment = augment
+
+    def _find_images(self, fraction: float) -> List[str]:
+        p = self.img_path
+        if p.is_dir():
+            files = sorted(str(f) for f in p.rglob("*") if f.suffix[1:].lower() in IMG_FORMATS)
+        elif p.is_file() and p.suffix == ".txt":
+            base = p.parent
+            files = sorted(str((base / line.strip()).resolve()) for line in p.read_text().splitlines() if line.strip())
+        else:
+            raise FileNotFoundError(f"image path not found: {p}")
+        if not files:
+            raise FileNotFoundError(f"no images found in {p}")
+        if fraction < 1.0:
+            files = files[: max(1, round(len(files) * fraction))]
+        return files
+
+    def _cache_path(self) -> Path:
+        return Path(str(self.img_path).rstrip("/")).with_suffix(".labels.json")
+
+    def _hash(self) -> str:
+        h = hashlib.sha256()
+        for f in self.im_files + self.label_files:
+            h.update(f.encode())
+            try:
+                h.update(str(Path(f).stat().st_mtime_ns).encode())
+            except OSError:
+                pass
+        return h.hexdigest()
+
+    def _load_labels(self) -> List[Dict]:
+        """Parse label txts (cls cx cy w h normalized), with a JSON cache keyed
+        by the file-list hash (reference: dataset.py:66 cache_labels)."""
+        cache_file = self._cache_path()
+        key = self._hash()
+        if cache_file.exists():
+            try:
+                blob = json.loads(cache_file.read_text())
+                if blob.get("hash") == key:
+                    return [
+                        {"cls": np.asarray(l["cls"], np.int32), "xywhn": np.asarray(l["xywhn"], np.float32).reshape(-1, 4)}
+                        for l in blob["labels"]
+                    ]
+            except (json.JSONDecodeError, KeyError):
+                pass
+        labels = []
+        n_miss = n_bad = 0
+        for lf in self.label_files:
+            cls_list, box_list = [], []
+            pth = Path(lf)
+            if pth.exists():
+                for line in pth.read_text().splitlines():
+                    parts = line.split()
+                    if len(parts) >= 5:
+                        try:
+                            c = int(float(parts[0]))
+                            vals = [float(x) for x in parts[1:5]]
+                            if all(0 <= v <= 1.0001 for v in vals[2:]) and vals[2] > 0 and vals[3] > 0:
+                                cls_list.append(c)
+                                box_list.append(vals)
+                            else:
+                                n_bad += 1
+                        except ValueError:
+                            n_bad += 1
+            else:
+                n_miss += 1
+            labels.append(
+                {
+                    "cls": np.asarray(cls_list, np.int32),
+                    "xywhn": np.asarray(box_list, np.float32).reshape(-1, 4),
+                }
+            )
+        if n_miss or n_bad:
+            LOGGER.info(f"labels: {n_miss} missing files, {n_bad} bad rows skipped")
+        try:
+            blob = {
+                "hash": key,
+                "labels": [{"cls": l["cls"].tolist(), "xywhn": l["xywhn"].tolist()} for l in labels],
+            }
+            cache_file.write_text(json.dumps(blob))
+        except OSError:
+            pass
+        return labels
+
+    def __len__(self):
+        return len(self.im_files)
+
+    def load_image(self, i: int) -> np.ndarray:
+        if self.cache_ram and i in self._im_cache:
+            return self._im_cache[i]
+        img = cv2.imread(self.im_files[i])  # BGR HWC
+        if img is None:
+            raise FileNotFoundError(f"image not found / unreadable: {self.im_files[i]}")
+        if self.cache_ram:
+            self._im_cache[i] = img
+        return img
+
+    def load_sample(self, i: int, square_to: Optional[int] = None) -> Dict:
+        """Image + pixel-xyxy labels; long-side resize to imgsz
+        (reference: base.py:151 load_image rescale convention)."""
+        img = self.load_image(i)
+        h0, w0 = img.shape[:2]
+        if square_to:
+            r = square_to / max(h0, w0)
+            if r != 1:
+                img = cv2.resize(
+                    img,
+                    (min(int(w0 * r), square_to), min(int(h0 * r), square_to)),
+                    interpolation=cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA,
+                )
+        h, w = img.shape[:2]
+        lab = self.labels[i]
+        cls = lab["cls"].copy()
+        if self.single_cls:
+            cls = np.zeros_like(cls)
+        xywhn = lab["xywhn"]
+        if len(xywhn):
+            b = np.empty((len(xywhn), 4), np.float32)
+            b[:, 0] = (xywhn[:, 0] - xywhn[:, 2] / 2) * w
+            b[:, 1] = (xywhn[:, 1] - xywhn[:, 3] / 2) * h
+            b[:, 2] = (xywhn[:, 0] + xywhn[:, 2] / 2) * w
+            b[:, 3] = (xywhn[:, 1] + xywhn[:, 3] / 2) * h
+        else:
+            b = np.zeros((0, 4), np.float32)
+        return {"img": img, "cls": cls, "bboxes": b, "ori_shape": (h0, w0)}
+
+    def get_item(self, i: int, rng) -> Dict[str, np.ndarray]:
+        if self.augment:
+            return self.transform(i, rng)
+        return self.transform(self.load_sample(i), rng)
+
+    def close_mosaic(self):
+        if self.augment and hasattr(self.transform, "close_mosaic"):
+            self.transform.close_mosaic()
+
+
+class ClassificationDataset:
+    """root/{class_name}/img.jpg layout (reference: dataset.py:389)."""
+
+    def __init__(self, root: str | Path, imgsz: int = 224, augment: bool = False):
+        self.root = Path(root)
+        classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.samples = [
+            (str(f), self.class_to_idx[d.name])
+            for d in self.root.iterdir()
+            if d.is_dir()
+            for f in sorted(d.rglob("*"))
+            if f.suffix[1:].lower() in IMG_FORMATS
+        ]
+        self.imgsz = imgsz
+        self.augment = augment
+        self.names = {i: c for c, i in self.class_to_idx.items()}
+
+    def __len__(self):
+        return len(self.samples)
+
+    def get_item(self, i: int, rng) -> Dict[str, np.ndarray]:
+        path, label = self.samples[i]
+        img = cv2.imread(path)
+        img = cv2.resize(img, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
+        if self.augment and rng.random() < 0.5:
+            img = np.fliplr(img)
+        return {"img": np.ascontiguousarray(img[..., ::-1]), "cls": np.int32(label)}

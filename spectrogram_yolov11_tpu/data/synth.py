@@ -1,0 +1,131 @@
+"""Synthetic dataset generators (offline-materialized, YOLO format on disk).
+
+The runtime image has zero egress, so the reference's auto-download datasets
+(coco8 etc., data/utils.py:301) are replaced by deterministic generators:
+
+- shapes:      random rectangles/circles/triangles on textured noise — the
+               coco8-equivalent smoke-train dataset.
+- spectrogram: the north-star domain — synthetic IQ captures with LTE-like
+               wideband bursts and RF narrowband bursts, rendered through the
+               SAME STFT pipeline the device uses (ops/stft.py), labels in
+               (time, freq) boxes. Mirrors the fork's Spectrogram.yaml
+               classes ['LTE', 'RF'].
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Tuple
+
+import cv2
+import numpy as np
+
+from spectrogram_yolov11_tpu.utils import LOGGER
+
+
+def maybe_generate(data: dict) -> bool:
+    """Materialize a synthetic dataset described by its yaml (key `synthetic`)."""
+    kind = data.get("synthetic")
+    if not kind:
+        return False
+    root = Path(data["path"])
+    n_train = int(data.get("n_train", 64))
+    n_val = int(data.get("n_val", 16))
+    imgsz = int(data.get("gen_imgsz", 640))
+    seed = int(data.get("seed", 0))
+    if Path(data["val"]).exists():
+        return True
+    LOGGER.info(f"Generating synthetic '{kind}' dataset at {root} ({n_train} train / {n_val} val)...")
+    gen = {"shapes": _gen_shapes, "spectrogram": _gen_spectrogram}[kind]
+    gen(root, "train", n_train, imgsz, seed)
+    gen(root, "val", n_val, imgsz, seed + 10_000)
+    return True
+
+
+def _write_sample(root: Path, split: str, i: int, img: np.ndarray, labels: list) -> None:
+    (root / "images" / split).mkdir(parents=True, exist_ok=True)
+    (root / "labels" / split).mkdir(parents=True, exist_ok=True)
+    cv2.imwrite(str(root / "images" / split / f"{i:05d}.jpg"), img)
+    lines = [f"{c} {x:.6f} {y:.6f} {w:.6f} {h:.6f}" for c, x, y, w, h in labels]
+    (root / "labels" / split / f"{i:05d}.txt").write_text("\n".join(lines))
+
+
+def _gen_shapes(root: Path, split: str, n: int, imgsz: int, seed: int) -> None:
+    """Rectangles (0), circles (1), triangles (2) on low-freq noise."""
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        base = rng.integers(40, 160, (imgsz // 8, imgsz // 8, 3), dtype=np.uint8)
+        img = cv2.resize(base, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
+        labels = []
+        for _ in range(int(rng.integers(1, 7))):
+            cls = int(rng.integers(0, 3))
+            w = int(rng.uniform(0.08, 0.3) * imgsz)
+            h = int(rng.uniform(0.08, 0.3) * imgsz)
+            x1 = int(rng.uniform(0, imgsz - w))
+            y1 = int(rng.uniform(0, imgsz - h))
+            color = tuple(int(c) for c in rng.integers(100, 255, 3))
+            if cls == 0:
+                cv2.rectangle(img, (x1, y1), (x1 + w, y1 + h), color, -1)
+            elif cls == 1:
+                cv2.ellipse(img, (x1 + w // 2, y1 + h // 2), (w // 2, h // 2), 0, 0, 360, color, -1)
+            else:
+                pts = np.array([[x1 + w // 2, y1], [x1, y1 + h], [x1 + w, y1 + h]], np.int32)
+                cv2.fillPoly(img, [pts], color)
+            labels.append((cls, (x1 + w / 2) / imgsz, (y1 + h / 2) / imgsz, w / imgsz, h / imgsz))
+        _write_sample(root, split, i, img, labels)
+
+
+def _synth_iq(rng, n_samples: int, fs: float = 1.0):
+    """One IQ capture: noise floor + LTE-like wideband bursts + RF narrowband
+    bursts. Returns (iq complex64, events) with events in normalized
+    (t0, t1, f0, f1) where f in [0,1) maps the fftshifted axis."""
+    iq = (rng.normal(0, 0.05, n_samples) + 1j * rng.normal(0, 0.05, n_samples)).astype(np.complex64)
+    t = np.arange(n_samples, dtype=np.float32)
+    events = []
+    for _ in range(int(rng.integers(1, 5))):
+        cls = int(rng.integers(0, 2))
+        t0 = rng.uniform(0, 0.7)
+        dur = rng.uniform(0.1, 0.3) if cls == 0 else rng.uniform(0.05, 0.25)
+        t1 = min(t0 + dur, 1.0)
+        i0, i1 = int(t0 * n_samples), int(t1 * n_samples)
+        fc = rng.uniform(-0.42, 0.42)  # cycles/sample, fftshift maps to (fc+0.5)
+        if cls == 0:  # LTE-like: wideband OFDM-ish block = filtered noise, bw 5-20% of fs
+            bw = rng.uniform(0.06, 0.2)
+            n_seg = i1 - i0
+            base = rng.normal(0, 1, n_seg) + 1j * rng.normal(0, 1, n_seg)
+            # brick-wall filter in freq domain
+            spec = np.fft.fft(base)
+            freqs = np.fft.fftfreq(n_seg)
+            spec[np.abs(freqs) > bw / 2] = 0
+            sig = np.fft.ifft(spec) * rng.uniform(2.0, 6.0)
+            iq[i0:i1] += (sig * np.exp(2j * np.pi * fc * t[i0:i1])).astype(np.complex64)
+        else:  # RF narrowband: tone or slow chirp
+            bw = rng.uniform(0.004, 0.02)
+            drift = rng.uniform(-bw, bw)
+            amp = rng.uniform(1.5, 5.0)
+            phase = 2 * np.pi * (fc * t[i0:i1] + 0.5 * drift / max(i1 - i0, 1) * (t[i0:i1] - i0) ** 2 / max(i1 - i0, 1))
+            iq[i0:i1] += (amp * np.exp(1j * phase)).astype(np.complex64)
+        f_center = fc + 0.5  # fftshifted normalized position
+        f0, f1 = max(f_center - bw / 2 - 0.005, 0.0), min(f_center + bw / 2 + 0.005, 1.0)
+        events.append((cls, t0, t1, f0, f1))
+    return iq, events
+
+
+def _gen_spectrogram(root: Path, split: str, n: int, imgsz: int, seed: int) -> None:
+    from spectrogram_yolov11_tpu.ops.stft import spectrogram_numpy
+
+    rng = np.random.default_rng(seed)
+    n_fft, hop = 256, 128
+    n_samples = n_fft + hop * (imgsz - 1)  # exactly imgsz time frames
+    for i in range(n):
+        iq, events = _synth_iq(rng, n_samples)
+        img01 = spectrogram_numpy(iq, n_fft=n_fft, hop=hop)  # (F=256, T=imgsz)
+        img = cv2.resize((img01 * 255).astype(np.uint8), (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
+        img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+        labels = []
+        for cls, t0, t1, f0, f1 in events:
+            # rows = frequency, cols = time
+            x, y = (t0 + t1) / 2, (f0 + f1) / 2
+            w, h = (t1 - t0), (f1 - f0)
+            labels.append((cls, x, y, w, h))
+        _write_sample(root, split, i, img, labels)

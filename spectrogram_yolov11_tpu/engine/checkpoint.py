@@ -1,0 +1,99 @@
+"""Checkpoint IO: msgpack pytrees with the reference checkpoint schema.
+
+Counterpart of the reference checkpoint system (engine/trainer.py:512
+save_model, :691 check_resume, torch_utils.py:533 strip_optimizer; schema in
+SURVEY A19): {epoch, best_fitness, ema (the weights), updates, optimizer,
+train_args, ...}. Serialization is flax msgpack instead of torch pickle —
+self-describing numpy trees, no code execution on load. `.pt` ingestion is a
+separate import path (utils/torch_compat.py).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from spectrogram_yolov11_tpu import __version__
+from spectrogram_yolov11_tpu.utils import LOGGER
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    path: str | Path,
+    *,
+    variables: Dict[str, Any],  # {params, batch_stats} (current weights)
+    ema_variables: Optional[Dict[str, Any]],
+    opt_state: Optional[Any],
+    epoch: int,
+    best_fitness: float,
+    updates: int,
+    train_args: Optional[dict] = None,
+    model_yaml: Optional[dict] = None,
+    names: Optional[dict] = None,
+    nc: Optional[int] = None,
+) -> None:
+    """One self-contained file: msgpack(tree) with a JSON metadata header."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if hasattr(opt_state, "_asdict"):  # NamedTuple -> dict for msgpack
+        opt_state = opt_state._asdict()
+    tree = {
+        "variables": _to_numpy(variables),
+        "ema": _to_numpy(ema_variables) if ema_variables is not None else None,
+        "opt_state": _to_numpy(opt_state) if opt_state is not None else None,
+    }
+    blob = serialization.msgpack_serialize(tree)
+    meta = {
+        "epoch": epoch,
+        "best_fitness": float(best_fitness),
+        "updates": int(updates),
+        "train_args": {k: (str(v) if isinstance(v, Path) else v) for k, v in (train_args or {}).items()},
+        "model_yaml": model_yaml,
+        "names": {int(k): v for k, v in (names or {}).items()},
+        "nc": nc,
+        "date": datetime.now(timezone.utc).isoformat(),
+        "version": __version__,
+    }
+    header = json.dumps(meta, default=str).encode()
+    with open(path, "wb") as f:
+        f.write(len(header).to_bytes(8, "little"))
+        f.write(header)
+        f.write(blob)
+
+
+def load_checkpoint(path: str | Path):
+    """Returns (tree {variables, ema, opt_state}, meta dict)."""
+    path = Path(path)
+    with open(path, "rb") as f:
+        n = int.from_bytes(f.read(8), "little")
+        meta = json.loads(f.read(n).decode())
+        tree = serialization.msgpack_restore(f.read())
+    if meta.get("names"):
+        meta["names"] = {int(k): v for k, v in meta["names"].items()}
+    return tree, meta
+
+
+def strip_optimizer(path: str | Path) -> None:
+    """Finalize a checkpoint: EMA becomes the model, optimizer dropped
+    (reference: torch_utils.py:533)."""
+    tree, meta = load_checkpoint(path)
+    if tree.get("ema") is not None:
+        tree["variables"] = tree["ema"]
+    tree["ema"] = None
+    tree["opt_state"] = None
+    blob = serialization.msgpack_serialize(tree)
+    header = json.dumps(meta, default=str).encode()
+    with open(path, "wb") as f:
+        f.write(len(header).to_bytes(8, "little"))
+        f.write(header)
+        f.write(blob)
+    LOGGER.info(f"Optimizer stripped from {path}")

@@ -1,0 +1,175 @@
+"""The `YOLO` facade — the public API of the framework.
+
+Counterpart of the reference Model facade
+(/root/reference/ultralytics/engine/model.py:29): one object that loads a
+model (.yaml architecture, our .ckpt checkpoints, or imported reference .pt)
+and dispatches train/val/predict/track/export/benchmark through the per-task
+plug-in map (reference task_map, models/yolo/model.py:26).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Union
+
+import jax
+import numpy as np
+
+from spectrogram_yolov11_tpu.cfg import get_cfg
+from spectrogram_yolov11_tpu.nn.tasks import build_model, guess_model_task, yaml_model_load
+from spectrogram_yolov11_tpu.utils import DEFAULT_CFG, LOGGER
+
+
+class YOLO:
+    """`YOLO('yolo11n.yaml')` / `YOLO('best.ckpt')` / `YOLO('yolo11n.pt')`."""
+
+    def __init__(self, model: Union[str, Path] = "yolo11n.yaml", task: Optional[str] = None, verbose: bool = False):
+        self.model_path = str(model)
+        self.task = task
+        self.ckpt_meta: Dict[str, Any] = {}
+        self.variables = None
+        self.model = None
+        self.overrides: Dict[str, Any] = {}
+        suffix = Path(self.model_path).suffix
+        if suffix in {".yaml", ".yml"}:
+            self._new(self.model_path, verbose=verbose)
+        elif suffix == ".ckpt":
+            self._load_ckpt(self.model_path)
+        elif suffix == ".pt":
+            self._import_pt(self.model_path)
+        else:
+            # bare name like 'yolo11n' -> yaml
+            self._new(self.model_path + ".yaml", verbose=verbose)
+
+    # -- constructors -----------------------------------------------------
+    def _new(self, cfg_path: str, verbose: bool = False):
+        d = yaml_model_load(cfg_path)
+        self.task = self.task or guess_model_task(d)
+        self.model = build_model(d, verbose=verbose, task=self.task)
+        self.overrides["model"] = cfg_path
+        self.overrides["task"] = self.task
+
+    def _load_ckpt(self, path: str):
+        from spectrogram_yolov11_tpu.engine.checkpoint import load_checkpoint
+
+        tree, meta = load_checkpoint(path)
+        d = meta["model_yaml"]
+        self.task = self.task or guess_model_task(d)
+        self.model = build_model(d, nc=meta.get("nc"), verbose=False, task=self.task)
+        if meta.get("names"):
+            self.model.names = meta["names"]
+        variables = tree.get("ema") or tree["variables"]
+        self.variables = jax.device_put(variables)
+        self.ckpt_meta = meta
+        self.overrides["model"] = path
+        ta = meta.get("train_args") or {}
+        if ta.get("data"):
+            self.ckpt_data = ta["data"]
+
+    def _import_pt(self, path: str):
+        """Ingest a reference .pt checkpoint (requires torch)."""
+        from spectrogram_yolov11_tpu.utils.torch_compat import import_pt, load_state_into_variables, torch_state_to_variables
+
+        state, meta = import_pt(path)
+        d = meta.get("yaml")
+        if d is None:
+            raise ValueError(f"{path} has no model yaml metadata; cannot rebuild architecture")
+        d = dict(d)
+        self.task = self.task or guess_model_task(d)
+        self.model = build_model(d, nc=meta.get("nc"), verbose=False, task=self.task)
+        if meta.get("names"):
+            self.model.names = dict(meta["names"])
+        v = self.model.init(jax.random.PRNGKey(0))
+        head_layer = f"model_{self.model.head_spec.i}"
+        conv = torch_state_to_variables(state, head_layer=head_layer, head_task=self.task)
+        self.variables = jax.device_put(load_state_into_variables(v, conv, strict=False))
+        self.overrides["model"] = path
+
+    def _ensure_variables(self):
+        if self.variables is None:
+            self.variables = self.model.init(jax.random.PRNGKey(0))
+
+    @property
+    def names(self) -> Dict[int, str]:
+        return self.model.names
+
+    @property
+    def stride(self):
+        return self.model.stride
+
+    # -- modes ------------------------------------------------------------
+    def train(self, **kwargs) -> Dict[str, float]:
+        from spectrogram_yolov11_tpu.engine.trainer import DetectionTrainer
+
+        overrides = {**self.overrides, **kwargs, "mode": "train"}
+        overrides.setdefault("model", self.model_path)
+        self._ensure_variables()
+        trainer = DetectionTrainer(overrides=overrides, model=self.model, variables=self.variables)
+        metrics = trainer.train()
+        self.variables = trainer.variables
+        self.trainer = trainer
+        return metrics
+
+    def val(self, **kwargs) -> Dict[str, float]:
+        from spectrogram_yolov11_tpu.engine.validator import DetectionValidator
+
+        self._ensure_variables()
+        overrides = {k: v for k, v in {**self.overrides, **kwargs}.items() if k not in {"model", "task", "mode"}}
+        data = overrides.pop("data", None) or getattr(self, "ckpt_data", None)
+        validator = DetectionValidator(self.model, self.variables, overrides=overrides)
+        self.validator = validator
+        return validator(data=data)
+
+    def predict(self, source=None, stream: bool = False, **kwargs) -> List:
+        from spectrogram_yolov11_tpu.engine.predictor import BasePredictor, ClassificationPredictor, SegmentationPredictor
+
+        self._ensure_variables()
+        cls = {"classify": ClassificationPredictor, "segment": SegmentationPredictor}.get(self.task, BasePredictor)
+        overrides = {k: v for k, v in {**self.overrides, **kwargs}.items() if k not in {"model", "task", "mode"}}
+        predictor = BasePredictor if self.task == "detect" else cls
+        self.predictor = cls(self.model, self.variables, overrides=overrides)
+        return self.predictor(source, stream=stream, batch_size=kwargs.get("batch", 1))
+
+    def __call__(self, source=None, **kwargs):
+        return self.predict(source, **kwargs)
+
+    def track(self, source=None, persist: bool = False, tracker: str = "botsort.yaml", **kwargs) -> List:
+        from spectrogram_yolov11_tpu.trackers.track import track_results
+
+        results = self.predict(source, **kwargs)
+        return track_results(self, results, persist=persist, tracker=tracker)
+
+    def export(self, **kwargs):
+        from spectrogram_yolov11_tpu.engine.exporter import Exporter
+
+        self._ensure_variables()
+        return Exporter(self.model, self.variables, overrides={**self.overrides, **kwargs})()
+
+    def benchmark(self, **kwargs):
+        from spectrogram_yolov11_tpu.utils.benchmarks import benchmark
+
+        return benchmark(model=self, **kwargs)
+
+    def save(self, path: Union[str, Path]):
+        from spectrogram_yolov11_tpu.engine.checkpoint import save_checkpoint
+
+        self._ensure_variables()
+        save_checkpoint(
+            Path(path),
+            variables=self.variables,
+            ema_variables=None,
+            opt_state=None,
+            epoch=-1,
+            best_fitness=0.0,
+            updates=0,
+            model_yaml={k: v for k, v in self.model.yaml.items() if k != "yaml_file"},
+            names=self.model.names,
+            nc=self.model.nc,
+        )
+
+    def info(self):
+        return self.model.info(self.variables)
+
+    def fuse(self):
+        LOGGER.info("fuse(): conv+BN folding is applied at export; XLA fuses the affine at jit time.")
+        return self

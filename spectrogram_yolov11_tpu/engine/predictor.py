@@ -1,0 +1,282 @@
+"""Predictor: streaming inference over any source, one fused device program.
+
+Counterpart of the reference BasePredictor (engine/predictor.py:66,
+stream_inference:222). TPU-first shape: the entire device pipeline —
+uint8->float normalize, forward, DFL decode, NMS — is ONE jitted function
+with static shapes; the host only letterboxes (cv2) and slices fixed-shape
+outputs to n_valid. Images H2D-transfer as uint8 (4x less PCIe/ICI traffic
+than float32).
+
+Deviation from the reference: predict always letterboxes to a fixed square
+imgsz (no dynamic stride-rect batches) — XLA recompiles per shape, so one
+static shape is the TPU-correct choice.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectrogram_yolov11_tpu.cfg import get_cfg, get_save_dir
+from spectrogram_yolov11_tpu.data.augment import letterbox
+from spectrogram_yolov11_tpu.data.loaders import load_inference_source
+from spectrogram_yolov11_tpu.engine.results import Results
+from spectrogram_yolov11_tpu.ops.boxes import scale_boxes
+from spectrogram_yolov11_tpu.ops.decode import decode_detections, decode_kpts, decode_obb, flatten_feats
+from spectrogram_yolov11_tpu.ops.nms import non_max_suppression, nms_rotated
+from spectrogram_yolov11_tpu.utils import LOGGER, DEFAULT_CFG
+
+
+class BasePredictor:
+    """Detection predictor; subclasses adjust postprocess for other tasks."""
+
+    def __init__(self, model, variables, overrides: Optional[dict] = None):
+        self.model = model
+        self.variables = variables
+        args = get_cfg(DEFAULT_CFG, overrides or {})
+        if args.conf is None:
+            args.conf = 0.25
+        self.args = args
+        self.imgsz = int(args.imgsz if isinstance(args.imgsz, int) else args.imgsz[0])
+        self.batch_size = 1
+        self.names = getattr(model, "names", {})
+        self._device_fn = None
+        self.done_warmup = False
+
+    # -- device program -------------------------------------------------
+    def _build_device_fn(self):
+        model, args = self.model, self.args
+        nc = model.nc
+        strides = tuple(float(s) for s in model.stride)
+        conf, iou, max_det = float(args.conf), float(args.iou), int(args.max_det)
+        classes = None if args.classes is None else jnp.asarray(args.classes)
+
+        @jax.jit
+        def run(variables, imgs_u8):
+            x = imgs_u8.astype(jnp.float32) / 255.0
+            feats = model.apply(variables, x, train=False)
+            preds = decode_detections(feats, nc=nc, strides=strides)
+            return non_max_suppression(
+                preds,
+                conf_thres=conf,
+                iou_thres=iou,
+                nc=nc,
+                multi_label=False,
+                agnostic=bool(args.agnostic_nms),
+                max_det=max_det,
+                classes=classes,
+            )
+
+        return run
+
+    def warmup(self, batch_size: int = 1):
+        if self._device_fn is None:
+            self._device_fn = self._build_device_fn()
+        dummy = jnp.zeros((batch_size, self.imgsz, self.imgsz, 3), jnp.uint8)
+        jax.block_until_ready(self._device_fn(self.variables, dummy))
+        self.batch_size = batch_size
+        self.done_warmup = True
+
+    # -- host pipeline ---------------------------------------------------
+    def preprocess(self, imgs: List[np.ndarray]) -> np.ndarray:
+        """letterbox + BGR->RGB, stays uint8 (reference: predictor.py:118;
+        normalize happens on device)."""
+        out = np.stack([letterbox(im, (self.imgsz, self.imgsz))[0] for im in imgs])
+        return np.ascontiguousarray(out[..., ::-1])
+
+    def postprocess(self, out_dev, n_valid, orig_imgs, paths, speed) -> List[Results]:
+        results = []
+        out_np = np.asarray(out_dev)
+        for i, (img0, path) in enumerate(zip(orig_imgs, paths)):
+            n = int(n_valid[i])
+            det = out_np[i, :n].copy()
+            if n:
+                det[:, :4] = scale_boxes((self.imgsz, self.imgsz), det[:, :4], img0.shape[:2])
+            results.append(Results(img0, path, self.names, boxes=det, speed=speed))
+        return results
+
+    def stream_inference(self, source, batch_size: int = 1) -> Iterator[Results]:
+        if self._device_fn is None or batch_size != self.batch_size:
+            self._device_fn = self._build_device_fn()
+            self.warmup(batch_size)
+        loader = load_inference_source(source, vid_stride=self.args.vid_stride)
+        buf_imgs, buf_paths = [], []
+
+        def flush():
+            nonlocal buf_imgs, buf_paths
+            if not buf_imgs:
+                return
+            t0 = time.perf_counter()
+            n_real = len(buf_imgs)
+            imgs = buf_imgs + [buf_imgs[-1]] * (batch_size - n_real)
+            batch = self.preprocess(imgs)
+            t1 = time.perf_counter()
+            out, nv = self._device_fn(self.variables, jnp.asarray(batch))
+            out = jax.block_until_ready(out)
+            t2 = time.perf_counter()
+            speed = {
+                "preprocess": (t1 - t0) / n_real * 1e3,
+                "inference": (t2 - t1) / n_real * 1e3,
+                "postprocess": 0.0,
+            }
+            res = self.postprocess(out, np.asarray(nv), buf_imgs[:n_real], buf_paths[:n_real], speed)
+            buf_imgs, buf_paths = [], []
+            yield from res
+
+        for path, img, _ in loader:
+            buf_imgs.append(img)
+            buf_paths.append(path)
+            if len(buf_imgs) == batch_size:
+                yield from flush()
+        yield from flush()
+
+    def __call__(self, source, stream: bool = False, batch_size: int = 1, **kwargs):
+        gen = self.stream_inference(source, batch_size=batch_size)
+        if stream:
+            return gen
+        results = list(gen)
+        if self.args.save or self.args.save_txt:
+            save_dir = get_save_dir(self.args)
+            save_dir.mkdir(parents=True, exist_ok=True)
+            for r in results:
+                stem = Path(r.path).stem or "image"
+                if self.args.save:
+                    r.save(save_dir / f"{stem}.jpg")
+                if self.args.save_txt:
+                    r.save_txt(save_dir / "labels" / f"{stem}.txt", save_conf=self.args.save_conf)
+            LOGGER.info(f"Results saved to {save_dir}")
+        return results
+
+
+class SegmentationPredictor(BasePredictor):
+    """Detect + mask decode (reference: models/yolo/segment/predict.py)."""
+
+    def _build_device_fn(self):
+        model, args = self.model, self.args
+        nc = model.nc
+        strides = tuple(float(s) for s in model.stride)
+        conf, iou, max_det = float(args.conf), float(args.iou), int(args.max_det)
+
+        @jax.jit
+        def run(variables, imgs_u8):
+            x = imgs_u8.astype(jnp.float32) / 255.0
+            feats, mc, proto = model.apply(variables, x, train=False)
+            preds = decode_detections(feats, nc=nc, strides=strides)
+            preds = jnp.concatenate([preds, mc], axis=-1)  # carry coeffs through NMS select
+            out, nv = _nms_with_extras(preds, nc, conf, iou, max_det)
+            # out: (B, max_det, 6 + nm); compute masks: sigmoid(coeff @ proto)
+            coeff = out[..., 6:]
+            b, h4, w4, nm = proto.shape
+            masks = jax.nn.sigmoid(jnp.einsum("bdk,bhwk->bdhw", coeff, proto))
+            return out[..., :6], nv, masks
+
+        return run
+
+    def postprocess(self, out_dev, n_valid, orig_imgs, paths, speed):
+        out, nv, masks = out_dev
+        results = []
+        out_np, masks_np = np.asarray(out), np.asarray(masks)
+        import cv2
+
+        for i, (img0, path) in enumerate(zip(orig_imgs, paths)):
+            n = int(n_valid[i])
+            det = out_np[i, :n].copy()
+            mk = None
+            if n:
+                boxes_lb = det[:, :4].copy()  # letterbox space, for mask crop
+                det[:, :4] = scale_boxes((self.imgsz, self.imgsz), det[:, :4], img0.shape[:2])
+                h0, w0 = img0.shape[:2]
+                mk = np.zeros((n, h0, w0), bool)
+                for j in range(n):
+                    m = cv2.resize(masks_np[i, j], (self.imgsz, self.imgsz))
+                    # un-letterbox the mask
+                    gain = min(self.imgsz / h0, self.imgsz / w0)
+                    pw, ph = (self.imgsz - w0 * gain) / 2, (self.imgsz - h0 * gain) / 2
+                    m = m[int(round(ph - 0.1)) : self.imgsz - int(round(ph + 0.1)),
+                          int(round(pw - 0.1)) : self.imgsz - int(round(pw + 0.1))]
+                    m = cv2.resize(m, (w0, h0)) > 0.5
+                    # crop to box
+                    x1, y1, x2, y2 = det[j, :4].astype(int)
+                    full = np.zeros_like(m)
+                    full[max(y1, 0) : y2, max(x1, 0) : x2] = m[max(y1, 0) : y2, max(x1, 0) : x2]
+                    mk[j] = full
+            results.append(Results(img0, path, self.names, boxes=det, masks=mk, speed=speed))
+        return results
+
+    def stream_inference(self, source, batch_size: int = 1):
+        if self._device_fn is None:
+            self._device_fn = self._build_device_fn()
+        loader = load_inference_source(source, vid_stride=self.args.vid_stride)
+        for path, img, _ in loader:
+            t0 = time.perf_counter()
+            batch = self.preprocess([img])
+            out = self._device_fn(self.variables, jnp.asarray(batch))
+            out = jax.block_until_ready(out)
+            speed = {"preprocess": 0.0, "inference": (time.perf_counter() - t0) * 1e3, "postprocess": 0.0}
+            yield from self.postprocess((out[0], np.asarray(out[1]), out[2]), np.asarray(out[1]), [img], [path], speed)
+
+
+def _nms_with_extras(preds: jnp.ndarray, nc: int, conf: float, iou: float, max_det: int, pre_nms_topk: int = 1024):
+    """NMS over (B, A, 4+nc+extra): scores from the nc block, extras gathered
+    along with the kept boxes. Returns ((B, max_det, 6+extra), n_valid)."""
+    from spectrogram_yolov11_tpu.ops.boxes import xywh2xyxy
+    from spectrogram_yolov11_tpu.ops.iou import box_iou
+    from spectrogram_yolov11_tpu.ops.nms import _greedy_keep
+
+    def single(p):
+        boxes_xywh = p[:, :4]
+        scores = p[:, 4 : 4 + nc]
+        extra = p[:, 4 + nc :]
+        a = scores.shape[0]
+        k = min(pre_nms_topk, a)
+        best_cls = jnp.argmax(scores, axis=-1)
+        best_score = jnp.max(scores, axis=-1)
+        top_scores, anchor = jax.lax.top_k(best_score, k)
+        cls = best_cls[anchor].astype(jnp.float32)
+        valid = top_scores > conf
+        boxes = xywh2xyxy(boxes_xywh[anchor])
+        off = (cls * 7680.0)[:, None]
+        keep = _greedy_keep(box_iou(boxes + off, boxes + off), valid, iou)
+        rank = jnp.where(keep, top_scores, -1.0)
+        sel_scores, sel = jax.lax.top_k(rank, min(max_det, k))
+        sel_valid = sel_scores > conf
+        out = jnp.concatenate(
+            [boxes[sel], top_scores[sel][:, None], cls[sel][:, None], extra[anchor][sel]], axis=-1
+        )
+        out = jnp.where(sel_valid[:, None], out, 0.0)
+        return out, jnp.sum(sel_valid.astype(jnp.int32))
+
+    return jax.vmap(single)(preds)
+
+
+class ClassificationPredictor(BasePredictor):
+    def _build_device_fn(self):
+        model = self.model
+
+        @jax.jit
+        def run(variables, imgs_u8):
+            x = imgs_u8.astype(jnp.float32) / 255.0
+            logits = model.apply(variables, x, train=False)
+            return jax.nn.softmax(logits, axis=-1)
+
+        return run
+
+    def preprocess(self, imgs):
+        import cv2
+
+        out = np.stack([cv2.resize(im, (self.imgsz, self.imgsz)) for im in imgs])
+        return np.ascontiguousarray(out[..., ::-1])
+
+    def stream_inference(self, source, batch_size: int = 1):
+        if self._device_fn is None:
+            self._device_fn = self._build_device_fn()
+        loader = load_inference_source(source, vid_stride=self.args.vid_stride)
+        for path, img, _ in loader:
+            probs = np.asarray(self._device_fn(self.variables, jnp.asarray(self.preprocess([img]))))[0]
+            yield Results(img, path, self.names, probs=probs)

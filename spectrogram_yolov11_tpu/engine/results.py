@@ -1,0 +1,266 @@
+"""Results containers (numpy, device-agnostic).
+
+Counterpart of the reference result objects
+(/root/reference/ultralytics/engine/results.py: Results:187, Boxes:1015,
+Masks:1233, Keypoints:1331, Probs:1455, OBB:1596) over plain numpy — results
+have already left the device by construction time (the fixed-shape NMS output
+is sliced to n_valid on host).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import cv2
+import numpy as np
+
+from spectrogram_yolov11_tpu.ops.boxes import xyxy2xywh
+from spectrogram_yolov11_tpu.utils import SimpleClass
+
+
+class Boxes(SimpleClass):
+    """(n, 6) [x1, y1, x2, y2, conf, cls] in original-image pixels."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data, np.float32).reshape(-1, 6)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, i):
+        return Boxes(self.data[i], self.orig_shape)
+
+    @property
+    def xyxy(self):
+        return self.data[:, :4]
+
+    @property
+    def conf(self):
+        return self.data[:, 4]
+
+    @property
+    def cls(self):
+        return self.data[:, 5]
+
+    @property
+    def xywh(self):
+        return xyxy2xywh(self.data[:, :4])
+
+    @property
+    def xyxyn(self):
+        h, w = self.orig_shape
+        return self.data[:, :4] / np.asarray([w, h, w, h], np.float32)
+
+    @property
+    def xywhn(self):
+        h, w = self.orig_shape
+        return self.xywh / np.asarray([w, h, w, h], np.float32)
+
+
+class Masks(SimpleClass):
+    """(n, H, W) binary masks at original-image resolution."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xy(self) -> List[np.ndarray]:
+        """Mask contours in pixel coords."""
+        out = []
+        for m in self.data.astype(np.uint8):
+            cs, _ = cv2.findContours(m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+            out.append(max(cs, key=cv2.contourArea).reshape(-1, 2).astype(np.float32) if cs else np.zeros((0, 2), np.float32))
+        return out
+
+
+class Keypoints(SimpleClass):
+    """(n, K, 2|3) keypoints in original-image pixels."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data, np.float32)
+        self.orig_shape = orig_shape
+
+    @property
+    def xy(self):
+        return self.data[..., :2]
+
+    @property
+    def conf(self):
+        return self.data[..., 2] if self.data.shape[-1] == 3 else None
+
+
+class Probs(SimpleClass):
+    """Classification probabilities (nc,)."""
+
+    def __init__(self, data: np.ndarray):
+        self.data = np.asarray(data, np.float32)
+
+    @property
+    def top1(self) -> int:
+        return int(self.data.argmax())
+
+    @property
+    def top5(self) -> List[int]:
+        return self.data.argsort()[::-1][:5].tolist()
+
+    @property
+    def top1conf(self) -> float:
+        return float(self.data.max())
+
+    @property
+    def top5conf(self):
+        return self.data[self.top5]
+
+
+class OBBoxes(SimpleClass):
+    """(n, 7) [cx, cy, w, h, angle, conf, cls] rotated boxes."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data, np.float32).reshape(-1, 7)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xywhr(self):
+        return self.data[:, :5]
+
+    @property
+    def conf(self):
+        return self.data[:, 5]
+
+    @property
+    def cls(self):
+        return self.data[:, 6]
+
+    @property
+    def xyxyxyxy(self):
+        from spectrogram_yolov11_tpu.ops.tal import rbox2corners
+        import jax.numpy as jnp
+
+        return np.asarray(rbox2corners(jnp.asarray(self.data[:, :5])))
+
+
+_COLORS = np.array(
+    [[4, 42, 255], [11, 219, 235], [243, 243, 243], [0, 223, 183], [17, 31, 104], [255, 111, 221],
+     [255, 68, 79], [204, 237, 0], [0, 243, 68], [189, 0, 255], [0, 180, 255], [221, 0, 186],
+     [0, 192, 38], [255, 36, 125], [104, 0, 123], [108, 27, 255], [47, 109, 252], [104, 31, 17]],
+    np.uint8,
+)
+
+
+class Results(SimpleClass):
+    """One image's predictions + plotting/serialization."""
+
+    def __init__(
+        self,
+        orig_img: np.ndarray,
+        path: str,
+        names: Dict[int, str],
+        boxes: Optional[np.ndarray] = None,
+        masks: Optional[np.ndarray] = None,
+        probs: Optional[np.ndarray] = None,
+        keypoints: Optional[np.ndarray] = None,
+        obb: Optional[np.ndarray] = None,
+        speed: Optional[dict] = None,
+    ):
+        self.orig_img = orig_img
+        self.orig_shape = orig_img.shape[:2]
+        self.path = path
+        self.names = names
+        self.boxes = Boxes(boxes, self.orig_shape) if boxes is not None else None
+        self.masks = Masks(masks, self.orig_shape) if masks is not None else None
+        self.probs = Probs(probs) if probs is not None else None
+        self.keypoints = Keypoints(keypoints, self.orig_shape) if keypoints is not None else None
+        self.obb = OBBoxes(obb, self.orig_shape) if obb is not None else None
+        self.speed = speed or {"preprocess": None, "inference": None, "postprocess": None}
+
+    def __len__(self):
+        for k in (self.boxes, self.masks, self.obb):
+            if k is not None:
+                return len(k)
+        return 0
+
+    def plot(self, line_width: Optional[int] = None, font_scale: float = 0.5, show_conf: bool = True) -> np.ndarray:
+        """Draw detections on a copy of the original (BGR) image."""
+        img = self.orig_img.copy()
+        lw = line_width or max(round(sum(img.shape[:2]) / 2 * 0.003), 2)
+        if self.masks is not None:
+            overlay = img.copy()
+            for i, m in enumerate(self.masks.data):
+                color = _COLORS[i % len(_COLORS)].tolist()
+                overlay[m.astype(bool)] = color
+            img = cv2.addWeighted(img, 0.55, overlay, 0.45, 0)
+        if self.boxes is not None:
+            for b in self.boxes.data:
+                c = int(b[5])
+                color = _COLORS[c % len(_COLORS)].tolist()
+                p1, p2 = (int(b[0]), int(b[1])), (int(b[2]), int(b[3]))
+                cv2.rectangle(img, p1, p2, color, lw)
+                label = self.names.get(c, str(c)) + (f" {b[4]:.2f}" if show_conf else "")
+                cv2.putText(img, label, (p1[0], max(p1[1] - 4, 12)), cv2.FONT_HERSHEY_SIMPLEX, font_scale, color, max(lw - 1, 1))
+        if self.keypoints is not None:
+            for kp in self.keypoints.data:
+                for x, y, *v in kp:
+                    if not v or v[0] > 0.5:
+                        cv2.circle(img, (int(x), int(y)), max(lw, 2), (0, 255, 0), -1)
+        if self.obb is not None:
+            for i, corners in enumerate(self.obb.xyxyxyxy):
+                c = int(self.obb.cls[i])
+                cv2.polylines(img, [corners.astype(np.int32)], True, _COLORS[c % len(_COLORS)].tolist(), lw)
+        return img
+
+    def save(self, filename: str | Path) -> str:
+        cv2.imwrite(str(filename), self.plot())
+        return str(filename)
+
+    def save_txt(self, txt_file: str | Path, save_conf: bool = False) -> None:
+        lines = []
+        if self.boxes is not None:
+            for b, xywhn in zip(self.boxes.data, self.boxes.xywhn):
+                line = (int(b[5]), *xywhn.tolist()) + ((float(b[4]),) if save_conf else ())
+                lines.append(" ".join(f"{v:.6g}" if isinstance(v, float) else str(v) for v in line))
+        if self.probs is not None:
+            lines = [f"{self.probs.top1conf:.2f} {self.names.get(self.probs.top1, self.probs.top1)}"]
+        Path(txt_file).parent.mkdir(parents=True, exist_ok=True)
+        Path(txt_file).write_text("\n".join(lines) + ("\n" if lines else ""))
+
+    def to_json(self) -> str:
+        out = []
+        if self.boxes is not None:
+            for b in self.boxes.data:
+                out.append(
+                    {
+                        "name": self.names.get(int(b[5]), str(int(b[5]))),
+                        "class": int(b[5]),
+                        "confidence": round(float(b[4]), 5),
+                        "box": {"x1": float(b[0]), "y1": float(b[1]), "x2": float(b[2]), "y2": float(b[3])},
+                    }
+                )
+        if self.probs is not None:
+            out.append({"name": self.names.get(self.probs.top1, str(self.probs.top1)), "class": self.probs.top1,
+                        "confidence": round(self.probs.top1conf, 5)})
+        return json.dumps(out, indent=2)
+
+    def to_df(self):
+        """Pandas DataFrame of detections (pandas is optional)."""
+        import pandas as pd
+
+        return pd.DataFrame(json.loads(self.to_json()))
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self
+
+    def summary(self) -> list:
+        return json.loads(self.to_json())

@@ -1,0 +1,342 @@
+"""Trainer: functional SPMD training loop.
+
+Counterpart of the reference BaseTrainer/DetectionTrainer
+(/root/reference/ultralytics/engine/trainer.py:58, _do_train:318;
+models/yolo/detect/train.py:19) redesigned TPU-first:
+
+- ONE jitted train step: normalize -> forward (mutable BN) -> TAL+loss ->
+  grad -> grad-accumulation buffer -> (every `accumulate` iters) clipped
+  SGD/AdamW update + EMA — all inside the same XLA program; the Python loop
+  only feeds batches and reads scalars.
+- data parallelism = batch sharded over Mesh(('data',)); XLA inserts the
+  gradient allreduce (no DDP fork/NCCL, reference trainer.py:184-228).
+- bf16 compute is the AMP equivalent (no GradScaler needed on TPU).
+- EMA (decay ramp 0.9999*(1-exp(-t/2000)), torch_utils.py:495), warmup
+  (trainer.py:364), early stopping (torch_utils.py:713), close_mosaic
+  (trainer.py:337), checkpoint schema (trainer.py:512) all reproduced.
+
+Known deviations (documented): no AutoBatch yet (batch=-1 falls back to 16);
+the warmup-ramped accumulate count is fixed at round(nbs/batch) from step 0;
+multi_scale uses a small static set of sizes (recompile per size) when on.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectrogram_yolov11_tpu.cfg import get_cfg, get_save_dir
+from spectrogram_yolov11_tpu.data import DataLoader, YOLODataset, check_det_dataset
+from spectrogram_yolov11_tpu.engine.checkpoint import load_checkpoint, save_checkpoint, strip_optimizer
+from spectrogram_yolov11_tpu.engine.optim import (
+    OptState,
+    apply_updates,
+    choose_optimizer,
+    ema_decay,
+    ema_update,
+    init_opt_state,
+    param_groups,
+)
+from spectrogram_yolov11_tpu.engine.validator import DetectionValidator
+from spectrogram_yolov11_tpu.nn.tasks import build_model
+from spectrogram_yolov11_tpu.ops.losses import detection_loss
+from spectrogram_yolov11_tpu.parallel.mesh import get_mesh, replicate_state, shard_batch
+from spectrogram_yolov11_tpu.utils import DEFAULT_CFG, LOGGER, TQDM, colorstr, init_seeds
+from spectrogram_yolov11_tpu.utils.callbacks import default_callbacks, run_callbacks
+
+
+class EarlyStopping:
+    """Patience on fitness (reference: torch_utils.py:713)."""
+
+    def __init__(self, patience: int = 100):
+        self.best_fitness = 0.0
+        self.best_epoch = 0
+        self.patience = patience or float("inf")
+
+    def __call__(self, epoch: int, fitness: Optional[float]) -> bool:
+        if fitness is None:
+            return False
+        if fitness >= self.best_fitness:
+            self.best_epoch = epoch
+            self.best_fitness = fitness
+        stop = (epoch - self.best_epoch) >= self.patience
+        if stop:
+            LOGGER.info(f"EarlyStopping: no improvement in last {self.patience} epochs; stopping at epoch {epoch}.")
+        return stop
+
+
+class BaseTrainer:
+    """Detection trainer (task subclasses override loss/validator wiring)."""
+
+    task = "detect"
+
+    def __init__(self, cfg=DEFAULT_CFG, overrides: Optional[dict] = None, model=None, variables=None):
+        self.args = get_cfg(cfg, overrides or {})
+        self.callbacks = default_callbacks()
+        init_seeds(self.args.seed)
+        self.save_dir = get_save_dir(self.args)
+        self.wdir = self.save_dir / "weights"
+        self.last, self.best = self.wdir / "last.ckpt", self.wdir / "best.ckpt"
+        self.batch_size = 16 if self.args.batch in (-1, None) else int(self.args.batch)
+        self.epochs = int(self.args.epochs)
+        self.imgsz = int(self.args.imgsz if isinstance(self.args.imgsz, int) else self.args.imgsz[0])
+        self.data = check_det_dataset(self.args.data)
+        self.model = model
+        self.variables = variables
+        self.start_epoch = 0
+        self.best_fitness = 0.0
+        self.metrics: Dict[str, float] = {}
+        self.csv = self.save_dir / "results.csv"
+
+    # -- model/dataset wiring ---------------------------------------------
+    def setup_model(self):
+        if self.model is None:
+            self.model = build_model(str(self.args.model or "yolo11n.yaml"), nc=self.data["nc"], verbose=False)
+        self.model.names = self.data["names"]
+        if self.variables is None:
+            self.variables = self.model.init(jax.random.PRNGKey(self.args.seed), imgsz=64)
+
+    def build_dataset(self, split: str, augment: bool) -> YOLODataset:
+        return YOLODataset(
+            self.data[split],
+            imgsz=self.imgsz,
+            augment=augment,
+            hyp=self.args,
+            nc=self.data["nc"],
+            max_gt=128,
+            single_cls=self.args.single_cls,
+            fraction=self.args.fraction if split == "train" else 1.0,
+            cache=self.args.cache,
+        )
+
+    # -- jitted step --------------------------------------------------------
+    def _make_train_step(self, opt_cfg, groups, accumulate: int, wd_scaled: float):
+        model = self.model
+        nc = self.data["nc"]
+        strides = tuple(float(s) for s in self.model.stride)
+        imgsz = self.imgsz
+        hyp_box, hyp_cls, hyp_dfl = float(self.args.box), float(self.args.cls), float(self.args.dfl)
+
+        def loss_fn(params, batch_stats, images_u8, cls, bboxes, mask_gt):
+            x = images_u8.astype(jnp.float32) / 255.0
+            feats, mut = model.graph.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=True, mutable=["batch_stats"]
+            )
+            total, items = detection_loss(
+                feats, cls, bboxes, mask_gt, nc=nc, imgsz=imgsz, strides=strides,
+                hyp_box=hyp_box, hyp_cls=hyp_cls, hyp_dfl=hyp_dfl,
+            )
+            return total, (items, mut["batch_stats"])
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def train_step(state, images_u8, cls, bboxes, mask_gt, ni):
+            (loss, (items, new_bs)), grads = grad_fn(
+                state["params"], state["batch_stats"], images_u8, cls, bboxes, mask_gt
+            )
+            buf = jax.tree_util.tree_map(lambda b, g: b + g, state["grad_buf"], grads)
+            do_step = ((ni + 1) % accumulate) == 0
+
+            def apply_branch(operand):
+                params, opt_state, buf, ema, ema_updates = operand
+                new_params, new_opt = apply_updates(
+                    params, buf, opt_state, opt_cfg, groups, wd_scaled, lr_step=ni
+                )
+                upd = ema_updates + 1
+                d = ema_decay(upd)
+                new_ema = {
+                    "params": ema_update(ema["params"], new_params, d),
+                    "batch_stats": ema_update(ema["batch_stats"], new_bs, d),
+                }
+                zero = jax.tree_util.tree_map(jnp.zeros_like, buf)
+                return new_params, new_opt, zero, new_ema, upd
+
+            def skip_branch(operand):
+                params, opt_state, buf, ema, ema_updates = operand
+                return params, opt_state, buf, ema, ema_updates
+
+            new_params, new_opt, new_buf, new_ema, new_upd = jax.lax.cond(
+                do_step, apply_branch, skip_branch,
+                (state["params"], state["opt"], buf, state["ema"], state["ema_updates"]),
+            )
+            new_state = {
+                "params": new_params,
+                "batch_stats": new_bs,
+                "opt": new_opt,
+                "grad_buf": new_buf,
+                "ema": new_ema,
+                "ema_updates": new_upd,
+            }
+            return new_state, loss, items
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    # -- the loop ------------------------------------------------------------
+    def train(self) -> Dict[str, float]:
+        self.setup_model()
+        if self.args.resume:
+            self._resume()
+        (self.wdir).mkdir(parents=True, exist_ok=True)
+        train_ds = self.build_dataset("train", augment=True)
+        loader = DataLoader(
+            train_ds, self.batch_size, shuffle=True, seed=self.args.seed,
+            workers=self.args.workers, drop_last=True,
+        )
+        nb = len(loader)
+        if nb == 0:
+            raise ValueError(f"training set too small for batch={self.batch_size}")
+        accumulate = max(round(self.args.nbs / self.batch_size), 1)
+        wd_scaled = float(self.args.weight_decay) * self.batch_size * accumulate / self.args.nbs
+        opt_cfg = choose_optimizer(self.args, self.data["nc"], nb)
+        LOGGER.info(
+            f"{colorstr('optimizer:')} {opt_cfg.kind} lr0={opt_cfg.lr0} momentum={opt_cfg.momentum} "
+            f"wd={wd_scaled:.6f} accumulate={accumulate} warmup_iters={opt_cfg.warmup_iters}"
+        )
+        groups = param_groups(self.variables["params"])
+
+        mesh = get_mesh()
+        state = {
+            "params": self.variables["params"],
+            "batch_stats": self.variables["batch_stats"],
+            "opt": init_opt_state(self.variables["params"]),
+            "grad_buf": jax.tree_util.tree_map(jnp.zeros_like, self.variables["params"]),
+            # NB: explicit copy — astype(f32) on f32 aliases the buffer, and
+            # aliased leaves break donate_argnums ("donate the same buffer twice")
+            "ema": {
+                "params": jax.tree_util.tree_map(lambda x: jnp.array(x, jnp.float32, copy=True), self.variables["params"]),
+                "batch_stats": jax.tree_util.tree_map(lambda x: jnp.array(x, jnp.float32, copy=True), self.variables["batch_stats"]),
+            },
+            "ema_updates": jnp.zeros((), jnp.int32),
+        }
+        state = replicate_state(state, mesh)
+        step_fn = self._make_train_step(opt_cfg, groups, accumulate, wd_scaled)
+
+        stopper = EarlyStopping(self.args.patience)
+        run_callbacks(self.callbacks, "on_train_start", self)
+        t_start = time.time()
+        stop = False
+        LOGGER.info(
+            f"Starting training for {self.epochs} epochs on {len(mesh.devices.flat)} device(s): "
+            f"{nb} iters/epoch, batch {self.batch_size}, imgsz {self.imgsz}"
+        )
+        for epoch in range(self.start_epoch, self.epochs):
+            self.epoch = epoch
+            run_callbacks(self.callbacks, "on_train_epoch_start", self)
+            if epoch == max(self.epochs - self.args.close_mosaic, 0) and self.args.close_mosaic:
+                LOGGER.info("Closing dataloader mosaic")
+                train_ds.close_mosaic()
+            loader.set_epoch(epoch)
+            mloss = np.zeros(3)
+            pbar = TQDM(enumerate(loader), total=nb, desc=f"epoch {epoch + 1}/{self.epochs}")
+            for i, batch in pbar:
+                ni = i + nb * epoch
+                batch_dev = shard_batch(
+                    {"img": batch["img"], "cls": batch["cls"], "bboxes": batch["bboxes"],
+                     "mask_gt": batch["mask_gt"]},
+                    mesh,
+                )
+                state, loss, items = step_fn(
+                    state, batch_dev["img"], batch_dev["cls"], batch_dev["bboxes"], batch_dev["mask_gt"],
+                    jnp.asarray(ni, jnp.int32),
+                )
+                mloss = (mloss * i + np.asarray(items)) / (i + 1)
+                if hasattr(pbar, "set_postfix"):
+                    pbar.set_postfix(box=f"{mloss[0]:.3f}", cls=f"{mloss[1]:.3f}", dfl=f"{mloss[2]:.3f}")
+                run_callbacks(self.callbacks, "on_train_batch_end", self)
+            self.label_loss = {"train/box_loss": mloss[0], "train/cls_loss": mloss[1], "train/dfl_loss": mloss[2]}
+
+            # -- validation with EMA weights (reference validator.py:118) --
+            fitness = None
+            if self.args.val or epoch == self.epochs - 1:
+                ema_vars = {"params": state["ema"]["params"], "batch_stats": state["ema"]["batch_stats"]}
+                self.metrics = self.validate(ema_vars)
+                fitness = self.metrics.get("fitness", 0.0)
+                if fitness >= self.best_fitness:
+                    self.best_fitness = fitness
+            self._write_csv(epoch, mloss, self.metrics)
+            run_callbacks(self.callbacks, "on_fit_epoch_end", self)
+
+            # -- checkpoints --
+            if self.args.save:
+                self._save_ckpt(state, epoch, fitness)
+            stop = stopper(epoch, fitness)
+            if self.args.time and (time.time() - t_start) / 3600 > self.args.time:
+                LOGGER.info("Time budget reached; stopping.")
+                stop = True
+            if stop:
+                break
+
+        # finalize: best.ckpt EMA-only (reference final_eval + strip_optimizer)
+        if self.args.save and self.best.exists():
+            strip_optimizer(self.best)
+        seconds = time.time() - t_start
+        LOGGER.info(f"Training complete in {seconds / 3600:.3f} hours.")
+        run_callbacks(self.callbacks, "on_train_end", self)
+        # leave final weights on the model for chained .val()/.predict()
+        self.variables = {"params": state["ema"]["params"], "batch_stats": state["ema"]["batch_stats"]}
+        return self.metrics
+
+    def validate(self, ema_vars) -> Dict[str, float]:
+        # one validator for the whole run — rebuilding would re-jit every epoch
+        if getattr(self, "_validator", None) is None:
+            self._validator = DetectionValidator(
+                self.model, ema_vars,
+                overrides={"data": self.args.data, "imgsz": self.imgsz, "batch": self.batch_size,
+                           "workers": self.args.workers, "plots": False, "single_cls": self.args.single_cls},
+            )
+        self._validator.variables = ema_vars
+        return self._validator()
+
+    def _save_ckpt(self, state, epoch: int, fitness: Optional[float]):
+        kw = dict(
+            variables={"params": state["params"], "batch_stats": state["batch_stats"]},
+            ema_variables=state["ema"],
+            opt_state=state["opt"],
+            epoch=epoch,
+            best_fitness=self.best_fitness,
+            updates=int(state["ema_updates"]),
+            train_args=vars(self.args),
+            model_yaml={k: v for k, v in self.model.yaml.items() if k != "yaml_file"},
+            names=self.model.names,
+            nc=self.model.nc,
+        )
+        save_checkpoint(self.last, **kw)
+        if fitness is not None and fitness >= self.best_fitness:
+            save_checkpoint(self.best, **kw)
+        if self.args.save_period > 0 and (epoch + 1) % self.args.save_period == 0:
+            save_checkpoint(self.wdir / f"epoch{epoch}.ckpt", **kw)
+
+    def _resume(self):
+        path = self.last if self.last.exists() else Path(str(self.args.resume))
+        if not path.exists():
+            LOGGER.warning(f"resume checkpoint not found at {path}; training from scratch")
+            return
+        tree, meta = load_checkpoint(path)
+        self.variables = tree["variables"]
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self.best_fitness = float(meta.get("best_fitness", 0.0))
+        LOGGER.info(f"Resuming from {path} at epoch {self.start_epoch}")
+
+    def _write_csv(self, epoch: int, mloss, metrics: Dict[str, float]):
+        import csv
+
+        row = {"epoch": epoch, "train/box_loss": float(mloss[0]), "train/cls_loss": float(mloss[1]),
+               "train/dfl_loss": float(mloss[2]), **{k: float(v) for k, v in metrics.items()}}
+        write_header = not self.csv.exists()
+        self.csv.parent.mkdir(parents=True, exist_ok=True)
+        with open(self.csv, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row))
+            if write_header:
+                w.writeheader()
+            w.writerow(row)
+
+
+class DetectionTrainer(BaseTrainer):
+    task = "detect"

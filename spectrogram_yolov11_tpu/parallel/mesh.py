@@ -1,0 +1,60 @@
+"""Device mesh + sharding helpers (SPMD data parallelism).
+
+The TPU-native replacement for the reference's DDP machinery
+(engine/trainer.py:184-228 subprocess fork + NCCL process group + gradient
+allreduce; SURVEY 2.12): one process, one jitted train step over a
+Mesh(('data',)). Batches are sharded on the leading axis, state is
+replicated; XLA inserts the gradient psum over ICI automatically — there is
+no explicit collective in user code, no launcher, no rendezvous.
+
+Multi-host (multi-slice) extension: jax.distributed.initialize() +
+per-host input sharding via make_array_from_process_local_data — the mesh
+abstraction below is already global-device-ordered for that case.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(devices: Optional[list] = None, axis_name: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Device-put each batch array sharded along axis 0 ('data')."""
+    sh = batch_sharded(mesh)
+    return {k: jax.device_put(v, sh) if getattr(v, "ndim", 0) >= 1 else v for k, v in batch.items()}
+
+
+def replicate_state(state: Any, mesh: Mesh) -> Any:
+    return jax.device_put(state, replicated(mesh))
+
+
+def pad_batch_to_devices(batch: dict, n_devices: int) -> dict:
+    """Pad the batch dim to a multiple of the mesh size (tail val batches)."""
+    b = batch["img"].shape[0]
+    rem = (-b) % n_devices
+    if rem == 0:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        if getattr(v, "ndim", 0) >= 1 and v.shape[0] == b:
+            pad = [(0, rem)] + [(0, 0)] * (v.ndim - 1)
+            out[k] = np.pad(v, pad)
+        else:
+            out[k] = v
+    return out

@@ -88,13 +88,15 @@ def mosaic4(
     """4-image mosaic onto a 2s x 2s canvas (reference: augment.py:490-700).
 
     Center (xc, yc) ~ U(s/2, 3s/2) via border = -s/2; tiles clipped to canvas;
-    labels offset by the tile's (padw, padh).
+    labels (boxes / polygons / keypoints) offset by the tile's (padw, padh).
     """
     s = imgsz
     border = (-s // 2, -s // 2)
     yc, xc = (int(rng.uniform(-b, 2 * s + b)) for b in border)
     canvas = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
-    cls_out, box_out = [], []
+    has_seg = "segments" in samples[0]
+    has_kpt = "keypoints" in samples[0]
+    cls_out, box_out, seg_out, kpt_out = [], [], [], []
     for i, sample in enumerate(samples):
         img = sample["img"]
         h, w = img.shape[:2]
@@ -118,11 +120,23 @@ def mosaic4(
             b[:, [1, 3]] += padh
             box_out.append(b)
             cls_out.append(sample["cls"])
+            if has_seg:
+                seg_out.extend([p + np.asarray([padw, padh], np.float32) for p in sample["segments"]])
+            if has_kpt:
+                k = sample["keypoints"].copy()
+                k[..., 0] += padw
+                k[..., 1] += padh
+                kpt_out.append(k)
     cls_cat = np.concatenate(cls_out) if cls_out else np.zeros((0,), np.int32)
     box_cat = np.concatenate(box_out) if box_out else np.zeros((0, 4), np.float32)
-    # clip to canvas (reference clips inside Instances)
     box_cat = np.clip(box_cat, 0, 2 * s)
-    return {"img": canvas, "cls": cls_cat, "bboxes": box_cat, "mosaic_border": border}
+    out = {"img": canvas, "cls": cls_cat, "bboxes": box_cat, "mosaic_border": border}
+    if has_seg:
+        out["segments"] = seg_out
+    if has_kpt:
+        nk = samples[0]["keypoints"].shape[1] if kpt_out or not samples[0]["keypoints"].size else 0
+        out["keypoints"] = np.concatenate(kpt_out) if kpt_out else np.zeros((0, nk, 3), np.float32)
+    return out
 
 
 def box_candidates(box1: np.ndarray, box2: np.ndarray, wh_thr=2, ar_thr=100, area_thr=0.1, eps=1e-16) -> np.ndarray:
@@ -178,40 +192,88 @@ def random_perspective(
         else:
             img = cv2.warpAffine(img, M[:2], dsize=(w, h), borderValue=(114, 114, 114))
 
+    def warp_pts(pts: np.ndarray) -> np.ndarray:
+        xy = np.ones((len(pts), 3))
+        xy[:, :2] = pts
+        xy = xy @ M.T
+        return (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).astype(np.float32)
+
     boxes = sample["bboxes"]
     cls = sample["cls"]
+    segments = sample.get("segments")
+    keypoints = sample.get("keypoints")
     if len(boxes):
         n = len(boxes)
-        xy = np.ones((n * 4, 3))
-        xy[:, :2] = boxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)  # corners
-        xy = xy @ M.T
-        xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
-        x = xy[:, [0, 2, 4, 6]]
-        y = xy[:, [1, 3, 5, 7]]
-        new = np.stack((x.min(1), y.min(1), x.max(1), y.max(1)), axis=1)
-        new[:, [0, 2]] = new[:, [0, 2]].clip(0, w)
-        new[:, [1, 3]] = new[:, [1, 3]].clip(0, h)
-        keep = box_candidates(boxes.T * s, new.T, area_thr=0.10)
+        if segments is not None and len(segments):
+            # boxes re-derived from warped polygons (reference: augment.py:1104)
+            segments = [warp_pts(p) for p in segments]
+            new = np.stack(
+                [np.concatenate([p.min(0).clip([0, 0], [w, h]), p.max(0).clip([0, 0], [w, h])]) for p in segments]
+            ).astype(np.float32)
+        else:
+            xy = warp_pts(boxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)).reshape(n, 8)
+            x = xy[:, [0, 2, 4, 6]]
+            y = xy[:, [1, 3, 5, 7]]
+            new = np.stack((x.min(1), y.min(1), x.max(1), y.max(1)), axis=1)
+            new[:, [0, 2]] = new[:, [0, 2]].clip(0, w)
+            new[:, [1, 3]] = new[:, [1, 3]].clip(0, h)
+        if keypoints is not None and len(keypoints):
+            nk = keypoints.shape[1]
+            flat = warp_pts(keypoints[..., :2].reshape(-1, 2)).reshape(-1, nk, 2)
+            vis = keypoints[..., 2:3].copy() if keypoints.shape[-1] == 3 else np.ones((*flat.shape[:2], 1), np.float32)
+            outside = (flat[..., 0] < 0) | (flat[..., 0] > w) | (flat[..., 1] < 0) | (flat[..., 1] > h)
+            vis[outside] = 0
+            keypoints = np.concatenate([flat, vis], axis=-1).astype(np.float32)
+        keep = box_candidates(boxes.T * s, new.T, area_thr=0.01 if segments is not None and len(segments) else 0.10)
         boxes, cls = new[keep].astype(np.float32), cls[keep]
-    return {"img": img, "cls": cls, "bboxes": boxes}
+        if segments is not None and len(segments):
+            segments = [p for p, k in zip(segments, keep) if k]
+        if keypoints is not None and len(keypoints):
+            keypoints = keypoints[keep]
+    out = {"img": img, "cls": cls, "bboxes": boxes}
+    if segments is not None:
+        out["segments"] = segments if len(boxes) else []
+    if keypoints is not None:
+        out["keypoints"] = keypoints if len(boxes) else np.zeros((0,) + (sample["keypoints"].shape[1], 3), np.float32)
+    return out
 
 
-def random_flip(sample: Dict, fliplr: float = 0.5, flipud: float = 0.0, rng=None) -> Dict:
-    """Horizontal/vertical flips with box updates (reference: augment.py:1383)."""
+def random_flip(sample: Dict, fliplr: float = 0.5, flipud: float = 0.0, rng=None, flip_idx=None) -> Dict:
+    """Horizontal/vertical flips with box/polygon/keypoint updates
+    (reference: augment.py:1383; flip_idx swaps left/right keypoints)."""
     rng = rng or np.random.default_rng()
     img, boxes = sample["img"], sample["bboxes"]
+    segments = sample.get("segments")
+    keypoints = sample.get("keypoints")
     h, w = img.shape[:2]
     if flipud and rng.random() < flipud:
         img = np.flipud(img)
         if len(boxes):
             boxes = boxes.copy()
             boxes[:, [1, 3]] = h - boxes[:, [3, 1]]
+            if segments is not None:
+                segments = [np.stack([p[:, 0], h - p[:, 1]], 1) for p in segments]
+            if keypoints is not None and len(keypoints):
+                keypoints = keypoints.copy()
+                keypoints[..., 1] = h - keypoints[..., 1]
     if fliplr and rng.random() < fliplr:
         img = np.fliplr(img)
         if len(boxes):
             boxes = boxes.copy()
             boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
-    return {"img": np.ascontiguousarray(img), "cls": sample["cls"], "bboxes": boxes}
+            if segments is not None:
+                segments = [np.stack([w - p[:, 0], p[:, 1]], 1) for p in segments]
+            if keypoints is not None and len(keypoints):
+                keypoints = keypoints.copy()
+                keypoints[..., 0] = w - keypoints[..., 0]
+                if flip_idx is not None:
+                    keypoints = keypoints[:, list(flip_idx)]
+    out = {"img": np.ascontiguousarray(img), "cls": sample["cls"], "bboxes": boxes}
+    if segments is not None:
+        out["segments"] = segments
+    if keypoints is not None:
+        out["keypoints"] = keypoints
+    return out
 
 
 def mixup(sample1: Dict, sample2: Dict, rng=None) -> Dict:
@@ -226,10 +288,20 @@ def mixup(sample1: Dict, sample2: Dict, rng=None) -> Dict:
     }
 
 
-def format_sample(sample: Dict, imgsz: int, max_gt: int, bgr2rgb: bool = True) -> Dict[str, np.ndarray]:
+def format_sample(
+    sample: Dict, imgsz: int, max_gt: int, bgr2rgb: bool = True, task: str = "detect", mask_ratio: int = 4,
+    kpt_shape: Tuple[int, int] = (17, 3),
+) -> Dict[str, np.ndarray]:
     """Final Format step (reference: augment.py:1926): HWC BGR uint8 ->
-    HWC RGB float-ready image + normalized xywh labels padded to max_gt.
+    HWC RGB float-ready image + normalized labels padded to max_gt.
     (We keep HWC — NHWC is the TPU-native layout; the reference converts to CHW.)
+
+    task-specific extras:
+      segment: index-encoded instance mask at imgsz/mask_ratio (overlap
+               encoding, reference data/utils.py:257 polygons2masks_overlap)
+      pose:    normalized (nk, 3) keypoints padded to max_gt
+      obb:     boxes become (cx, cy, w, h, angle) from min-area rects of the
+               4-point polygons (reference ops.py xyxyxyxy2xywhr)
     """
     img = sample["img"]
     h, w = img.shape[:2]
@@ -238,56 +310,123 @@ def format_sample(sample: Dict, imgsz: int, max_gt: int, bgr2rgb: bool = True) -
     boxes = sample["bboxes"]
     cls = sample["cls"]
     n = min(len(boxes), max_gt)
-    box_pad = np.zeros((max_gt, 4), np.float32)
+    out: Dict[str, np.ndarray] = {}
     cls_pad = np.zeros((max_gt,), np.int32)
     mask = np.zeros((max_gt,), bool)
+
+    if task == "obb":
+        box_pad = np.zeros((max_gt, 5), np.float32)
+        polys = sample.get("segments", [])
+        good_rows = []
+        for i in range(n):
+            p = np.asarray(polys[i], np.float32)
+            (cx, cy), (bw, bh), ang = cv2.minAreaRect(p)
+            if bw < 2 or bh < 2:
+                continue
+            ang = ang / 180 * np.pi
+            if bw < bh:  # canonical le90-ish form: long side first
+                bw, bh = bh, bw
+                ang += np.pi / 2
+            ang = (ang + np.pi / 2) % np.pi - np.pi / 2
+            k = len(good_rows)
+            box_pad[k] = [cx / w, cy / h, bw / w, bh / h, ang]
+            cls_pad[k] = cls[i]
+            good_rows.append(i)
+        mask[: len(good_rows)] = True
+        out = {"img": np.ascontiguousarray(img), "cls": cls_pad, "bboxes": box_pad, "mask_gt": mask}
+        return out
+
+    box_pad = np.zeros((max_gt, 4), np.float32)
+    keep_idx = []
     if n:
         b = boxes[:n].astype(np.float32)
         xywh = np.stack(
             [(b[:, 0] + b[:, 2]) / 2 / w, (b[:, 1] + b[:, 3]) / 2 / h, (b[:, 2] - b[:, 0]) / w, (b[:, 3] - b[:, 1]) / h],
             axis=1,
         )
-        # drop degenerate boxes (zero w/h after clipping)
         good = (xywh[:, 2] > 0) & (xywh[:, 3] > 0)
-        k = int(good.sum())
+        keep_idx = list(np.where(good)[0])
+        k = len(keep_idx)
         box_pad[:k] = xywh[good]
-        cls_pad[:k] = sample["cls"][:n][good]
+        cls_pad[:k] = cls[:n][good]
         mask[:k] = True
-    return {"img": np.ascontiguousarray(img), "cls": cls_pad, "bboxes": box_pad, "mask_gt": mask}
+    out = {"img": np.ascontiguousarray(img), "cls": cls_pad, "bboxes": box_pad, "mask_gt": mask}
+
+    if task == "segment":
+        mh, mw = imgsz // mask_ratio, imgsz // mask_ratio
+        inst = np.zeros((mh, mw), np.int32)
+        polys = sample.get("segments", [])
+        sx, sy = mw / w, mh / h
+        for new_i, i in enumerate(keep_idx):
+            p = (np.asarray(polys[i], np.float32) * [sx, sy]).astype(np.int32)
+            cv2.fillPoly(inst, [p], int(new_i) + 1)
+        out["masks"] = inst
+    elif task == "pose":
+        nk, nd = kpt_shape
+        kpt_pad = np.zeros((max_gt, nk, 3), np.float32)
+        kpts = sample.get("keypoints")
+        if kpts is not None and len(kpts):
+            for new_i, i in enumerate(keep_idx):
+                kp = kpts[i].copy()
+                kp[:, 0] /= w
+                kp[:, 1] /= h
+                kpt_pad[new_i] = kp
+        out["keypoints"] = kpt_pad
+    return out
+
+
+def _pad_labels(sample: Dict, dw: float, dh: float) -> Dict:
+    """Shift all label geometry by the letterbox padding offsets."""
+    px, py = int(round(dw - 0.1)), int(round(dh - 0.1))
+    boxes = sample["bboxes"].copy()
+    if len(boxes):
+        boxes[:, [0, 2]] += px
+        boxes[:, [1, 3]] += py
+    out = dict(sample, bboxes=boxes)
+    if "segments" in sample:
+        out["segments"] = [p + np.asarray([px, py], np.float32) for p in sample["segments"]]
+    if "keypoints" in sample and len(sample["keypoints"]):
+        k = sample["keypoints"].copy()
+        k[..., 0] += px
+        k[..., 1] += py
+        out["keypoints"] = k
+    return out
 
 
 class TrainTransform:
     """v8_transforms-equivalent pipeline (reference: augment.py:2278):
     Mosaic -> RandomPerspective -> (MixUp) -> HSV -> flips, then Format."""
 
-    def __init__(self, dataset, imgsz: int, hyp, max_gt: int = 128):
+    def __init__(self, dataset, imgsz: int, hyp, max_gt: int = 128, task: str = "detect",
+                 kpt_shape=(17, 3), flip_idx=None, mask_ratio: int = 4):
         self.dataset = dataset
         self.imgsz = imgsz
         self.hyp = hyp
         self.max_gt = max_gt
+        self.task = task
+        self.kpt_shape = tuple(kpt_shape)
+        self.flip_idx = flip_idx
+        self.mask_ratio = mask_ratio
         self.mosaic_enabled = True
 
     def close_mosaic(self):
         self.mosaic_enabled = False
 
+    def _mosaic(self, idx: int, rng) -> Dict:
+        idxs = [idx] + list(rng.integers(0, len(self.dataset), 3))
+        samples = [self.dataset.load_sample(i, square_to=self.imgsz) for i in idxs]
+        return mosaic4(samples, self.imgsz, rng)
+
     def __call__(self, idx: int, rng) -> Dict[str, np.ndarray]:
         h = self.hyp
         use_mosaic = self.mosaic_enabled and rng.random() < h.mosaic
         if use_mosaic:
-            idxs = [idx] + list(rng.integers(0, len(self.dataset), 3))
-            samples = [self.dataset.load_sample(i, square_to=self.imgsz) for i in idxs]
-            sample = mosaic4(samples, self.imgsz, rng)
+            sample = self._mosaic(idx, rng)
             border = sample.pop("mosaic_border")
         else:
             sample = self.dataset.load_sample(idx, square_to=self.imgsz)
             img, _, (dw, dh) = letterbox(sample["img"], (self.imgsz, self.imgsz), scaleup=True)
-            boxes = sample["bboxes"].copy()
-            if len(boxes):
-                r = min(self.imgsz / sample["img"].shape[0], self.imgsz / sample["img"].shape[1])
-                # load_sample already long-side-resized; letterbox only pads here
-                boxes[:, [0, 2]] += int(round(dw - 0.1))
-                boxes[:, [1, 3]] += int(round(dh - 0.1))
-            sample = {"img": img, "cls": sample["cls"], "bboxes": boxes}
+            sample = dict(_pad_labels(sample, dw, dh), img=img)
             border = (0, 0)
         sample = random_perspective(
             sample,
@@ -300,15 +439,14 @@ class TrainTransform:
             rng=rng,
         )
         if use_mosaic and h.mixup and rng.random() < h.mixup:
-            idx2 = int(rng.integers(0, len(self.dataset)))
-            s2 = [self.dataset.load_sample(i, square_to=self.imgsz) for i in [idx2] + list(rng.integers(0, len(self.dataset), 3))]
-            m2 = mosaic4(s2, self.imgsz, rng)
+            m2 = self._mosaic(int(rng.integers(0, len(self.dataset))), rng)
             b2 = m2.pop("mosaic_border")
             m2 = random_perspective(m2, h.degrees, h.translate, h.scale, h.shear, h.perspective, b2, rng)
             sample = mixup(sample, m2, rng)
         augment_hsv(sample["img"], h.hsv_h, h.hsv_s, h.hsv_v, rng)
-        sample = random_flip(sample, fliplr=h.fliplr, flipud=h.flipud, rng=rng)
-        return format_sample(sample, self.imgsz, self.max_gt)
+        sample = random_flip(sample, fliplr=h.fliplr, flipud=h.flipud, rng=rng, flip_idx=self.flip_idx)
+        return format_sample(sample, self.imgsz, self.max_gt, task=self.task,
+                             mask_ratio=self.mask_ratio, kpt_shape=self.kpt_shape)
 
 
 class ValTransform:
@@ -318,19 +456,30 @@ class ValTransform:
     metric time (augment.py:1592, consumed detect/val.py:115).
     """
 
-    def __init__(self, imgsz: int, max_gt: int = 128):
+    def __init__(self, imgsz: int, max_gt: int = 128, task: str = "detect", kpt_shape=(17, 3), mask_ratio: int = 4):
         self.imgsz = imgsz
         self.max_gt = max_gt
+        self.task = task
+        self.kpt_shape = tuple(kpt_shape)
+        self.mask_ratio = mask_ratio
 
     def __call__(self, sample: Dict, rng=None) -> Dict[str, np.ndarray]:
         orig_shape = sample["img"].shape[:2]
         img, ratio, (dw, dh) = letterbox(sample["img"], (self.imgsz, self.imgsz), scaleup=False)
+        s = dict(sample)
         boxes = sample["bboxes"].copy()
         if len(boxes):
             boxes[:, :4] *= ratio[0]
-            boxes[:, [0, 2]] += int(round(dw - 0.1))
-            boxes[:, [1, 3]] += int(round(dh - 0.1))
-        out = format_sample({"img": img, "cls": sample["cls"], "bboxes": boxes}, self.imgsz, self.max_gt)
+        s["bboxes"] = boxes
+        if "segments" in s:
+            s["segments"] = [p * ratio[0] for p in s["segments"]]
+        if "keypoints" in s and len(s["keypoints"]):
+            k = s["keypoints"].copy()
+            k[..., :2] *= ratio[0]
+            s["keypoints"] = k
+        s = dict(_pad_labels(s, dw, dh), img=img)
+        out = format_sample(s, self.imgsz, self.max_gt, task=self.task,
+                            mask_ratio=self.mask_ratio, kpt_shape=self.kpt_shape)
         out["ori_shape"] = np.asarray(orig_shape, np.int32)
         out["ratio_pad"] = np.asarray([ratio[0], dw, dh], np.float32)
         return out

@@ -87,12 +87,18 @@ class YOLODataset:
         single_cls: bool = False,
         fraction: float = 1.0,
         cache: bool | str = False,
+        task: str = "detect",
+        kpt_shape=(17, 3),
+        flip_idx=None,
+        mask_ratio: int = 4,
     ):
         self.img_path = Path(img_path)
         self.imgsz = imgsz
         self.nc = nc
         self.max_gt = max_gt
         self.single_cls = single_cls
+        self.task = task
+        self.kpt_shape = tuple(kpt_shape or (17, 3))
         self.im_files = self._find_images(fraction)
         self.label_files = [img2label_path(f) for f in self.im_files]
         self.labels = self._load_labels()
@@ -101,9 +107,11 @@ class YOLODataset:
         from .augment import TrainTransform, ValTransform
 
         if augment:
-            self.transform = TrainTransform(self, imgsz, hyp, max_gt=max_gt)
+            self.transform = TrainTransform(self, imgsz, hyp, max_gt=max_gt, task=task,
+                                            kpt_shape=self.kpt_shape, flip_idx=flip_idx, mask_ratio=mask_ratio)
         else:
-            self.transform = ValTransform(imgsz, max_gt=max_gt)
+            self.transform = ValTransform(imgsz, max_gt=max_gt, task=task,
+                                          kpt_shape=self.kpt_shape, mask_ratio=mask_ratio)
         self.augment = augment
 
     def _find_images(self, fraction: float) -> List[str]:
@@ -122,7 +130,7 @@ class YOLODataset:
         return files
 
     def _cache_path(self) -> Path:
-        return Path(str(self.img_path).rstrip("/")).with_suffix(".labels.json")
+        return Path(str(self.img_path).rstrip("/")).with_suffix(f".labels.{self.task}.json")
 
     def _hash(self) -> str:
         h = hashlib.sha256()
@@ -134,59 +142,112 @@ class YOLODataset:
                 pass
         return h.hexdigest()
 
+    def _parse_row(self, parts: List[str]) -> Optional[Dict]:
+        """One label row -> dict with xywhn (+segments/keypoints per task).
+
+        Formats (reference data/utils.py:97 verify_image_label):
+          detect:  cls cx cy w h
+          segment: cls x1 y1 x2 y2 ... (polygon; bbox derived)
+          obb:     cls x1 y1 ... x4 y4 (4 corners; kept as polygon)
+          pose:    cls cx cy w h  kx ky v  * nk
+        """
+        c = int(float(parts[0]))
+        vals = [float(x) for x in parts[1:]]
+        if self.task == "segment" and len(vals) >= 6 and len(vals) % 2 == 0:
+            pts = np.asarray(vals, np.float32).reshape(-1, 2)
+            lo, hi = pts.min(0), pts.max(0)
+            xywh = [(lo[0] + hi[0]) / 2, (lo[1] + hi[1]) / 2, hi[0] - lo[0], hi[1] - lo[1]]
+            return {"cls": c, "xywhn": xywh, "seg": pts.tolist()}
+        if self.task == "obb" and len(vals) == 8:
+            pts = np.asarray(vals, np.float32).reshape(4, 2)
+            lo, hi = pts.min(0), pts.max(0)
+            xywh = [(lo[0] + hi[0]) / 2, (lo[1] + hi[1]) / 2, hi[0] - lo[0], hi[1] - lo[1]]
+            return {"cls": c, "xywhn": xywh, "seg": pts.tolist()}
+        if self.task == "pose":
+            nk, nd = self.kpt_shape
+            if len(vals) == 4 + nk * nd:
+                kpts = np.asarray(vals[4:], np.float32).reshape(nk, nd)
+                if nd == 2:
+                    kpts = np.concatenate([kpts, np.ones((nk, 1), np.float32)], 1)
+                return {"cls": c, "xywhn": vals[:4], "kpt": kpts.tolist()}
+            return None
+        if len(vals) >= 4:
+            xywh = vals[:4]
+            if 0 < xywh[2] <= 1.0001 and 0 < xywh[3] <= 1.0001:
+                return {"cls": c, "xywhn": xywh}
+        return None
+
     def _load_labels(self) -> List[Dict]:
-        """Parse label txts (cls cx cy w h normalized), with a JSON cache keyed
-        by the file-list hash (reference: dataset.py:66 cache_labels)."""
+        """Parse label txts with a JSON cache keyed by the file-list hash
+        (reference: dataset.py:66 cache_labels)."""
         cache_file = self._cache_path()
         key = self._hash()
         if cache_file.exists():
             try:
                 blob = json.loads(cache_file.read_text())
                 if blob.get("hash") == key:
-                    return [
-                        {"cls": np.asarray(l["cls"], np.int32), "xywhn": np.asarray(l["xywhn"], np.float32).reshape(-1, 4)}
-                        for l in blob["labels"]
-                    ]
+                    return [self._label_from_json(l) for l in blob["labels"]]
             except (json.JSONDecodeError, KeyError):
                 pass
         labels = []
         n_miss = n_bad = 0
         for lf in self.label_files:
-            cls_list, box_list = [], []
+            rows = []
             pth = Path(lf)
             if pth.exists():
                 for line in pth.read_text().splitlines():
                     parts = line.split()
-                    if len(parts) >= 5:
-                        try:
-                            c = int(float(parts[0]))
-                            vals = [float(x) for x in parts[1:5]]
-                            if all(0 <= v <= 1.0001 for v in vals[2:]) and vals[2] > 0 and vals[3] > 0:
-                                cls_list.append(c)
-                                box_list.append(vals)
-                            else:
-                                n_bad += 1
-                        except ValueError:
-                            n_bad += 1
+                    if len(parts) < 5:
+                        continue
+                    try:
+                        row = self._parse_row(parts)
+                    except ValueError:
+                        row = None
+                    if row is None:
+                        n_bad += 1
+                    else:
+                        rows.append(row)
             else:
                 n_miss += 1
-            labels.append(
-                {
-                    "cls": np.asarray(cls_list, np.int32),
-                    "xywhn": np.asarray(box_list, np.float32).reshape(-1, 4),
-                }
-            )
+            lab = {
+                "cls": np.asarray([r["cls"] for r in rows], np.int32),
+                "xywhn": np.asarray([r["xywhn"] for r in rows], np.float32).reshape(-1, 4),
+            }
+            if self.task in {"segment", "obb"}:
+                lab["segments"] = [np.asarray(r["seg"], np.float32) for r in rows]
+            if self.task == "pose":
+                nk = self.kpt_shape[0]
+                lab["keypoints"] = (
+                    np.asarray([r["kpt"] for r in rows], np.float32).reshape(-1, nk, 3)
+                    if rows
+                    else np.zeros((0, nk, 3), np.float32)
+                )
+            labels.append(lab)
         if n_miss or n_bad:
             LOGGER.info(f"labels: {n_miss} missing files, {n_bad} bad rows skipped")
         try:
-            blob = {
-                "hash": key,
-                "labels": [{"cls": l["cls"].tolist(), "xywhn": l["xywhn"].tolist()} for l in labels],
-            }
+            blob = {"hash": key, "labels": [self._label_to_json(l) for l in labels]}
             cache_file.write_text(json.dumps(blob))
         except OSError:
             pass
         return labels
+
+    def _label_to_json(self, l: Dict) -> Dict:
+        out = {"cls": l["cls"].tolist(), "xywhn": l["xywhn"].tolist()}
+        if "segments" in l:
+            out["segments"] = [p.tolist() for p in l["segments"]]
+        if "keypoints" in l:
+            out["keypoints"] = l["keypoints"].tolist()
+        return out
+
+    def _label_from_json(self, l: Dict) -> Dict:
+        out = {"cls": np.asarray(l["cls"], np.int32), "xywhn": np.asarray(l["xywhn"], np.float32).reshape(-1, 4)}
+        if "segments" in l:
+            out["segments"] = [np.asarray(p, np.float32) for p in l["segments"]]
+        if "keypoints" in l:
+            nk = self.kpt_shape[0]
+            out["keypoints"] = np.asarray(l["keypoints"], np.float32).reshape(-1, nk, 3)
+        return out
 
     def __len__(self):
         return len(self.im_files)
@@ -228,7 +289,15 @@ class YOLODataset:
             b[:, 3] = (xywhn[:, 1] + xywhn[:, 3] / 2) * h
         else:
             b = np.zeros((0, 4), np.float32)
-        return {"img": img, "cls": cls, "bboxes": b, "ori_shape": (h0, w0)}
+        out = {"img": img, "cls": cls, "bboxes": b, "ori_shape": (h0, w0)}
+        if "segments" in lab:
+            out["segments"] = [p * np.asarray([w, h], np.float32) for p in lab["segments"]]
+        if "keypoints" in lab:
+            k = lab["keypoints"].copy()
+            k[..., 0] *= w
+            k[..., 1] *= h
+            out["keypoints"] = k
+        return out
 
     def get_item(self, i: int, rng) -> Dict[str, np.ndarray]:
         if self.augment:

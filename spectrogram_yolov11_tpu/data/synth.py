@@ -36,7 +36,13 @@ def maybe_generate(data: dict) -> bool:
     if Path(data["val"]).exists():
         return True
     LOGGER.info(f"Generating synthetic '{kind}' dataset at {root} ({n_train} train / {n_val} val)...")
-    gen = {"shapes": _gen_shapes, "spectrogram": _gen_spectrogram}[kind]
+    gen = {
+        "shapes": _gen_shapes,
+        "spectrogram": _gen_spectrogram,
+        "shapes-seg": _gen_shapes_seg,
+        "shapes-pose": _gen_shapes_pose,
+        "shapes-obb": _gen_shapes_obb,
+    }[kind]
     gen(root, "train", n_train, imgsz, seed)
     gen(root, "val", n_val, imgsz, seed + 10_000)
     return True
@@ -73,6 +79,96 @@ def _gen_shapes(root: Path, split: str, n: int, imgsz: int, seed: int) -> None:
                 cv2.fillPoly(img, [pts], color)
             labels.append((cls, (x1 + w / 2) / imgsz, (y1 + h / 2) / imgsz, w / imgsz, h / imgsz))
         _write_sample(root, split, i, img, labels)
+
+
+def _rand_polygon(rng, cx, cy, rad, n_pts=8):
+    """Star-convex random polygon around (cx, cy)."""
+    angles = np.sort(rng.uniform(0, 2 * np.pi, n_pts))
+    radii = rng.uniform(0.5, 1.0, n_pts) * rad
+    return np.stack([cx + radii * np.cos(angles), cy + radii * np.sin(angles)], 1).astype(np.float32)
+
+
+def _gen_shapes_seg(root: Path, split: str, n: int, imgsz: int, seed: int) -> None:
+    """Instance segmentation: blob (0) / ellipse-ish (1) polygons; YOLO-seg
+    label format = cls + normalized polygon points."""
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        base = rng.integers(40, 160, (imgsz // 8, imgsz // 8, 3), dtype=np.uint8)
+        img = cv2.resize(base, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
+        lines = []
+        for _ in range(int(rng.integers(1, 5))):
+            cls = int(rng.integers(0, 2))
+            cx, cy = rng.uniform(0.15, 0.85, 2) * imgsz
+            rad = rng.uniform(0.05, 0.15) * imgsz
+            poly = _rand_polygon(rng, cx, cy, rad, n_pts=8 if cls == 0 else 16)
+            poly = np.clip(poly, 0, imgsz - 1)
+            color = tuple(int(c) for c in rng.integers(100, 255, 3))
+            cv2.fillPoly(img, [poly.astype(np.int32)], color)
+            coords = " ".join(f"{v:.6f}" for v in (poly / imgsz).reshape(-1))
+            lines.append(f"{cls} {coords}")
+        (root / "images" / split).mkdir(parents=True, exist_ok=True)
+        (root / "labels" / split).mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(root / "images" / split / f"{i:05d}.jpg"), img)
+        (root / "labels" / split / f"{i:05d}.txt").write_text("\n".join(lines))
+
+
+def _gen_shapes_pose(root: Path, split: str, n: int, imgsz: int, seed: int) -> None:
+    """Pose: 'stick figures' = rectangle bodies with 5 visible keypoints
+    (4 corners + center), nc=1, kpt_shape [5, 3]."""
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        base = rng.integers(40, 160, (imgsz // 8, imgsz // 8, 3), dtype=np.uint8)
+        img = cv2.resize(base, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
+        labels = []
+        for _ in range(int(rng.integers(1, 4))):
+            w = rng.uniform(0.1, 0.3) * imgsz
+            h = rng.uniform(0.1, 0.3) * imgsz
+            x1 = rng.uniform(0, imgsz - w)
+            y1 = rng.uniform(0, imgsz - h)
+            color = tuple(int(c) for c in rng.integers(100, 255, 3))
+            cv2.rectangle(img, (int(x1), int(y1)), (int(x1 + w), int(y1 + h)), color, -1)
+            kps = np.array(
+                [[x1, y1], [x1 + w, y1], [x1 + w, y1 + h], [x1, y1 + h], [x1 + w / 2, y1 + h / 2]], np.float32
+            )
+            for kx, ky in kps:
+                cv2.circle(img, (int(kx), int(ky)), 4, (0, 0, 255), -1)
+            row = [0, (x1 + w / 2) / imgsz, (y1 + h / 2) / imgsz, w / imgsz, h / imgsz]
+            for kx, ky in kps:
+                row += [kx / imgsz, ky / imgsz, 2]
+            labels.append(" ".join(f"{v:.6f}" if isinstance(v, float) else str(v) for v in row))
+        (root / "images" / split).mkdir(parents=True, exist_ok=True)
+        (root / "labels" / split).mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(root / "images" / split / f"{i:05d}.jpg"), img)
+        (root / "labels" / split / f"{i:05d}.txt").write_text("\n".join(labels))
+
+
+def _gen_shapes_obb(root: Path, split: str, n: int, imgsz: int, seed: int) -> None:
+    """Oriented boxes: rotated rectangles (0) and elongated bars (1); DOTA-style
+    labels = cls + 4 normalized corner points."""
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        base = rng.integers(40, 160, (imgsz // 8, imgsz // 8, 3), dtype=np.uint8)
+        img = cv2.resize(base, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
+        lines = []
+        for _ in range(int(rng.integers(1, 5))):
+            cls = int(rng.integers(0, 2))
+            cx, cy = rng.uniform(0.2, 0.8, 2) * imgsz
+            if cls == 0:
+                w, h = rng.uniform(0.08, 0.2, 2) * imgsz
+            else:
+                w, h = rng.uniform(0.2, 0.35) * imgsz, rng.uniform(0.03, 0.08) * imgsz
+            ang = rng.uniform(0, 180)
+            pts = cv2.boxPoints(((cx, cy), (w, h), ang))
+            if pts.min() < 0 or pts.max() > imgsz - 1:
+                continue
+            color = tuple(int(c) for c in rng.integers(100, 255, 3))
+            cv2.fillPoly(img, [pts.astype(np.int32)], color)
+            coords = " ".join(f"{v:.6f}" for v in (pts / imgsz).reshape(-1))
+            lines.append(f"{cls} {coords}")
+        (root / "images" / split).mkdir(parents=True, exist_ok=True)
+        (root / "labels" / split).mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(root / "images" / split / f"{i:05d}.jpg"), img)
+        (root / "labels" / split / f"{i:05d}.txt").write_text("\n".join(lines))
 
 
 def _synth_iq(rng, n_samples: int, fs: float = 1.0):

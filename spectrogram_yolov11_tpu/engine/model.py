@@ -99,32 +99,46 @@ class YOLO:
 
     # -- modes ------------------------------------------------------------
     def train(self, **kwargs) -> Dict[str, float]:
-        from spectrogram_yolov11_tpu.engine.trainer import DetectionTrainer
+        from spectrogram_yolov11_tpu.engine.trainer import TASK2TRAINER
 
         overrides = {**self.overrides, **kwargs, "mode": "train"}
         overrides.setdefault("model", self.model_path)
+        if self.task == "classify":
+            from spectrogram_yolov11_tpu.engine.classify import ClassificationTrainer
+
+            trainer_cls = ClassificationTrainer
+        else:
+            trainer_cls = TASK2TRAINER[self.task]
         self._ensure_variables()
-        trainer = DetectionTrainer(overrides=overrides, model=self.model, variables=self.variables)
+        trainer = trainer_cls(overrides=overrides, model=self.model, variables=self.variables)
         metrics = trainer.train()
+        self.model = trainer.model  # trainer may rebuild (nc/kpt_shape from data)
         self.variables = trainer.variables
         self.trainer = trainer
         return metrics
 
     def val(self, **kwargs) -> Dict[str, float]:
-        from spectrogram_yolov11_tpu.engine.validator import DetectionValidator
+        from spectrogram_yolov11_tpu.engine import validator as V
 
         self._ensure_variables()
         overrides = {k: v for k, v in {**self.overrides, **kwargs}.items() if k not in {"model", "task", "mode"}}
         data = overrides.pop("data", None) or getattr(self, "ckpt_data", None)
-        validator = DetectionValidator(self.model, self.variables, overrides=overrides)
+        cls = {
+            "detect": V.DetectionValidator,
+            "segment": V.SegmentationValidator,
+            "pose": V.PoseValidator,
+            "obb": V.OBBValidator,
+            "classify": V.ClassificationValidator,
+        }[self.task]
+        validator = cls(self.model, self.variables, overrides=overrides)
         self.validator = validator
         return validator(data=data)
 
     def predict(self, source=None, stream: bool = False, **kwargs) -> List:
-        from spectrogram_yolov11_tpu.engine.predictor import BasePredictor, ClassificationPredictor, SegmentationPredictor
+        from spectrogram_yolov11_tpu.engine.predictor import (BasePredictor, ClassificationPredictor, OBBPredictor, PosePredictor, SegmentationPredictor)
 
         self._ensure_variables()
-        cls = {"classify": ClassificationPredictor, "segment": SegmentationPredictor}.get(self.task, BasePredictor)
+        cls = {"classify": ClassificationPredictor, "segment": SegmentationPredictor, "pose": PosePredictor, "obb": OBBPredictor}.get(self.task, BasePredictor)
         overrides = {k: v for k, v in {**self.overrides, **kwargs}.items() if k not in {"model", "task", "mode"}}
         predictor = BasePredictor if self.task == "detect" else cls
         self.predictor = cls(self.model, self.variables, overrides=overrides)

@@ -29,7 +29,7 @@ from spectrogram_yolov11_tpu.data.loaders import load_inference_source
 from spectrogram_yolov11_tpu.engine.results import Results
 from spectrogram_yolov11_tpu.ops.boxes import scale_boxes
 from spectrogram_yolov11_tpu.ops.decode import decode_detections, decode_kpts, decode_obb, flatten_feats
-from spectrogram_yolov11_tpu.ops.nms import non_max_suppression, nms_rotated
+from spectrogram_yolov11_tpu.ops.nms import non_max_suppression, non_max_suppression_extras, nms_rotated
 from spectrogram_yolov11_tpu.utils import LOGGER, DEFAULT_CFG
 
 
@@ -169,7 +169,7 @@ class SegmentationPredictor(BasePredictor):
             feats, mc, proto = model.apply(variables, x, train=False)
             preds = decode_detections(feats, nc=nc, strides=strides)
             preds = jnp.concatenate([preds, mc], axis=-1)  # carry coeffs through NMS select
-            out, nv = _nms_with_extras(preds, nc, conf, iou, max_det)
+            out, nv = non_max_suppression_extras(preds, conf_thres=conf, iou_thres=iou, nc=nc, max_det=max_det)
             # out: (B, max_det, 6 + nm); compute masks: sigmoid(coeff @ proto)
             coeff = out[..., 6:]
             b, h4, w4, nm = proto.shape
@@ -222,39 +222,6 @@ class SegmentationPredictor(BasePredictor):
             yield from self.postprocess((out[0], np.asarray(out[1]), out[2]), np.asarray(out[1]), [img], [path], speed)
 
 
-def _nms_with_extras(preds: jnp.ndarray, nc: int, conf: float, iou: float, max_det: int, pre_nms_topk: int = 1024):
-    """NMS over (B, A, 4+nc+extra): scores from the nc block, extras gathered
-    along with the kept boxes. Returns ((B, max_det, 6+extra), n_valid)."""
-    from spectrogram_yolov11_tpu.ops.boxes import xywh2xyxy
-    from spectrogram_yolov11_tpu.ops.iou import box_iou
-    from spectrogram_yolov11_tpu.ops.nms import _greedy_keep
-
-    def single(p):
-        boxes_xywh = p[:, :4]
-        scores = p[:, 4 : 4 + nc]
-        extra = p[:, 4 + nc :]
-        a = scores.shape[0]
-        k = min(pre_nms_topk, a)
-        best_cls = jnp.argmax(scores, axis=-1)
-        best_score = jnp.max(scores, axis=-1)
-        top_scores, anchor = jax.lax.top_k(best_score, k)
-        cls = best_cls[anchor].astype(jnp.float32)
-        valid = top_scores > conf
-        boxes = xywh2xyxy(boxes_xywh[anchor])
-        off = (cls * 7680.0)[:, None]
-        keep = _greedy_keep(box_iou(boxes + off, boxes + off), valid, iou)
-        rank = jnp.where(keep, top_scores, -1.0)
-        sel_scores, sel = jax.lax.top_k(rank, min(max_det, k))
-        sel_valid = sel_scores > conf
-        out = jnp.concatenate(
-            [boxes[sel], top_scores[sel][:, None], cls[sel][:, None], extra[anchor][sel]], axis=-1
-        )
-        out = jnp.where(sel_valid[:, None], out, 0.0)
-        return out, jnp.sum(sel_valid.astype(jnp.int32))
-
-    return jax.vmap(single)(preds)
-
-
 class ClassificationPredictor(BasePredictor):
     def _build_device_fn(self):
         model = self.model
@@ -280,3 +247,84 @@ class ClassificationPredictor(BasePredictor):
         for path, img, _ in loader:
             probs = np.asarray(self._device_fn(self.variables, jnp.asarray(self.preprocess([img]))))[0]
             yield Results(img, path, self.names, probs=probs)
+
+
+class PosePredictor(BasePredictor):
+    """Detect + keypoints (reference: models/yolo/pose/predict.py)."""
+
+    def _build_device_fn(self):
+        model, args = self.model, self.args
+        nc = model.nc
+        strides = tuple(float(s) for s in model.stride)
+        nk, nd = getattr(model, "kpt_shape", (17, 3))
+
+        @jax.jit
+        def run(variables, imgs_u8):
+            x = imgs_u8.astype(jnp.float32) / 255.0
+            feats, kpt_raw = model.apply(variables, x, train=False)
+            shapes = [(f.shape[1], f.shape[2]) for f in feats]
+            kpts = decode_kpts(kpt_raw, (nk, nd), shapes, strides)
+            preds = decode_detections(feats, nc=nc, strides=strides)
+            preds = jnp.concatenate([preds, kpts.reshape(kpts.shape[0], kpts.shape[1], -1)], axis=-1)
+            return non_max_suppression_extras(
+                preds, conf_thres=float(args.conf), iou_thres=float(args.iou), nc=nc,
+                max_det=int(args.max_det),
+            )
+
+        return run
+
+    def postprocess(self, out_dev, n_valid, orig_imgs, paths, speed):
+        nk, nd_ = getattr(self.model, "kpt_shape", (17, 3))
+        results = []
+        out_np = np.asarray(out_dev)
+        for i, (img0, path) in enumerate(zip(orig_imgs, paths)):
+            n = int(n_valid[i])
+            det = out_np[i, :n, :6].copy()
+            nd = out_np.shape[-1] - 6
+            kpts = out_np[i, :n, 6:].reshape(n, nk, nd // nk).copy()
+            if n:
+                gain = min(self.imgsz / img0.shape[0], self.imgsz / img0.shape[1])
+                pw = round((self.imgsz - img0.shape[1] * gain) / 2 - 0.1)
+                ph = round((self.imgsz - img0.shape[0] * gain) / 2 - 0.1)
+                det[:, :4] = scale_boxes((self.imgsz, self.imgsz), det[:, :4], img0.shape[:2])
+                kpts[..., 0] = (kpts[..., 0] - pw) / gain
+                kpts[..., 1] = (kpts[..., 1] - ph) / gain
+            results.append(Results(img0, path, self.names, boxes=det, keypoints=kpts, speed=speed))
+        return results
+
+
+class OBBPredictor(BasePredictor):
+    """Oriented boxes (reference: models/yolo/obb/predict.py)."""
+
+    def _build_device_fn(self):
+        model, args = self.model, self.args
+        nc = model.nc
+        strides = tuple(float(s) for s in model.stride)
+
+        @jax.jit
+        def run(variables, imgs_u8):
+            x = imgs_u8.astype(jnp.float32) / 255.0
+            feats, angle_raw = model.apply(variables, x, train=False)
+            preds = decode_obb(feats, angle_raw, nc=nc, strides=strides)
+            return nms_rotated(
+                preds, conf_thres=float(args.conf), iou_thres=float(args.iou), nc=nc,
+                max_det=int(args.max_det),
+            )
+
+        return run
+
+    def postprocess(self, out_dev, n_valid, orig_imgs, paths, speed):
+        results = []
+        out_np = np.asarray(out_dev)
+        for i, (img0, path) in enumerate(zip(orig_imgs, paths)):
+            n = int(n_valid[i])
+            det = out_np[i, :n].copy()  # (n, 7) cx cy w h angle conf cls
+            if n:
+                gain = min(self.imgsz / img0.shape[0], self.imgsz / img0.shape[1])
+                pw = round((self.imgsz - img0.shape[1] * gain) / 2 - 0.1)
+                ph = round((self.imgsz - img0.shape[0] * gain) / 2 - 0.1)
+                det[:, 0] = (det[:, 0] - pw) / gain
+                det[:, 1] = (det[:, 1] - ph) / gain
+                det[:, 2:4] /= gain
+            results.append(Results(img0, path, self.names, obb=det, speed=speed))
+        return results

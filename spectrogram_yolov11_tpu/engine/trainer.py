@@ -97,8 +97,24 @@ class BaseTrainer:
 
     # -- model/dataset wiring ---------------------------------------------
     def setup_model(self):
+        if (
+            self.model is not None
+            and self.task == "pose"
+            and self.data.get("kpt_shape")
+            and tuple(getattr(self.model, "kpt_shape", ())) != tuple(self.data["kpt_shape"])
+        ):
+            LOGGER.info(f"Rebuilding pose head for dataset kpt_shape={self.data['kpt_shape']}")
+            self.model = None
+            self.variables = None
         if self.model is None:
-            self.model = build_model(str(self.args.model or "yolo11n.yaml"), nc=self.data["nc"], verbose=False)
+            cfg = str(self.args.model or "yolo11n.yaml")
+            if self.task == "pose" and self.data.get("kpt_shape"):
+                from spectrogram_yolov11_tpu.nn.tasks import yaml_model_load
+
+                d = yaml_model_load(cfg)
+                d["kpt_shape"] = list(self.data["kpt_shape"])
+                cfg = d
+            self.model = build_model(cfg, nc=self.data["nc"], verbose=False, task=self.task)
         self.model.names = self.data["names"]
         if self.variables is None:
             self.variables = self.model.init(jax.random.PRNGKey(self.args.seed), imgsz=64)
@@ -114,33 +130,42 @@ class BaseTrainer:
             single_cls=self.args.single_cls,
             fraction=self.args.fraction if split == "train" else 1.0,
             cache=self.args.cache,
+            task=self.task,
+            kpt_shape=self.data.get("kpt_shape", (17, 3)),
+            flip_idx=self.data.get("flip_idx"),
+            mask_ratio=int(self.args.mask_ratio),
         )
+
+    # -- task hook: forward + criterion over one batch dict ------------------
+    def compute_loss(self, feats, batch):
+        """Task criterion over raw head output (overridden per task)."""
+        return detection_loss(
+            feats, batch["cls"], batch["bboxes"], batch["mask_gt"],
+            nc=self.data["nc"], imgsz=self.imgsz, strides=tuple(float(s) for s in self.model.stride),
+            hyp_box=float(self.args.box), hyp_cls=float(self.args.cls), hyp_dfl=float(self.args.dfl),
+        )
+
+    @property
+    def loss_names(self):
+        return ["box_loss", "cls_loss", "dfl_loss"]
 
     # -- jitted step --------------------------------------------------------
     def _make_train_step(self, opt_cfg, groups, accumulate: int, wd_scaled: float):
         model = self.model
-        nc = self.data["nc"]
-        strides = tuple(float(s) for s in self.model.stride)
-        imgsz = self.imgsz
-        hyp_box, hyp_cls, hyp_dfl = float(self.args.box), float(self.args.cls), float(self.args.dfl)
+        compute_loss = self.compute_loss
 
-        def loss_fn(params, batch_stats, images_u8, cls, bboxes, mask_gt):
-            x = images_u8.astype(jnp.float32) / 255.0
+        def loss_fn(params, batch_stats, batch):
+            x = batch["img"].astype(jnp.float32) / 255.0
             feats, mut = model.graph.apply(
                 {"params": params, "batch_stats": batch_stats}, x, train=True, mutable=["batch_stats"]
             )
-            total, items = detection_loss(
-                feats, cls, bboxes, mask_gt, nc=nc, imgsz=imgsz, strides=strides,
-                hyp_box=hyp_box, hyp_cls=hyp_cls, hyp_dfl=hyp_dfl,
-            )
+            total, items = compute_loss(feats, batch)
             return total, (items, mut["batch_stats"])
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-        def train_step(state, images_u8, cls, bboxes, mask_gt, ni):
-            (loss, (items, new_bs)), grads = grad_fn(
-                state["params"], state["batch_stats"], images_u8, cls, bboxes, mask_gt
-            )
+        def train_step(state, batch, ni):
+            (loss, (items, new_bs)), grads = grad_fn(state["params"], state["batch_stats"], batch)
             buf = jax.tree_util.tree_map(lambda b, g: b + g, state["grad_buf"], grads)
             do_step = ((ni + 1) % accumulate) == 0
 
@@ -233,24 +258,19 @@ class BaseTrainer:
                 LOGGER.info("Closing dataloader mosaic")
                 train_ds.close_mosaic()
             loader.set_epoch(epoch)
-            mloss = np.zeros(3)
+            names = self.loss_names
+            mloss = np.zeros(len(names))
+            train_keys = {"img", "cls", "bboxes", "mask_gt", "masks", "keypoints"}
             pbar = TQDM(enumerate(loader), total=nb, desc=f"epoch {epoch + 1}/{self.epochs}")
             for i, batch in pbar:
                 ni = i + nb * epoch
-                batch_dev = shard_batch(
-                    {"img": batch["img"], "cls": batch["cls"], "bboxes": batch["bboxes"],
-                     "mask_gt": batch["mask_gt"]},
-                    mesh,
-                )
-                state, loss, items = step_fn(
-                    state, batch_dev["img"], batch_dev["cls"], batch_dev["bboxes"], batch_dev["mask_gt"],
-                    jnp.asarray(ni, jnp.int32),
-                )
+                batch_dev = shard_batch({k: v for k, v in batch.items() if k in train_keys}, mesh)
+                state, loss, items = step_fn(state, batch_dev, jnp.asarray(ni, jnp.int32))
                 mloss = (mloss * i + np.asarray(items)) / (i + 1)
                 if hasattr(pbar, "set_postfix"):
-                    pbar.set_postfix(box=f"{mloss[0]:.3f}", cls=f"{mloss[1]:.3f}", dfl=f"{mloss[2]:.3f}")
+                    pbar.set_postfix(**{n.split("_")[0]: f"{v:.3f}" for n, v in zip(names, mloss)})
                 run_callbacks(self.callbacks, "on_train_batch_end", self)
-            self.label_loss = {"train/box_loss": mloss[0], "train/cls_loss": mloss[1], "train/dfl_loss": mloss[2]}
+            self.label_loss = {f"train/{n}": v for n, v in zip(names, mloss)}
 
             # -- validation with EMA weights (reference validator.py:118) --
             fitness = None
@@ -283,14 +303,18 @@ class BaseTrainer:
         self.variables = {"params": state["ema"]["params"], "batch_stats": state["ema"]["batch_stats"]}
         return self.metrics
 
+    def get_validator(self, ema_vars):
+        return DetectionValidator(
+            self.model, ema_vars,
+            overrides={"data": self.args.data, "imgsz": self.imgsz, "batch": self.batch_size,
+                       "workers": self.args.workers, "plots": False, "single_cls": self.args.single_cls,
+                       "mask_ratio": self.args.mask_ratio},
+        )
+
     def validate(self, ema_vars) -> Dict[str, float]:
         # one validator for the whole run — rebuilding would re-jit every epoch
         if getattr(self, "_validator", None) is None:
-            self._validator = DetectionValidator(
-                self.model, ema_vars,
-                overrides={"data": self.args.data, "imgsz": self.imgsz, "batch": self.batch_size,
-                           "workers": self.args.workers, "plots": False, "single_cls": self.args.single_cls},
-            )
+            self._validator = self.get_validator(ema_vars)
         self._validator.variables = ema_vars
         return self._validator()
 
@@ -327,8 +351,8 @@ class BaseTrainer:
     def _write_csv(self, epoch: int, mloss, metrics: Dict[str, float]):
         import csv
 
-        row = {"epoch": epoch, "train/box_loss": float(mloss[0]), "train/cls_loss": float(mloss[1]),
-               "train/dfl_loss": float(mloss[2]), **{k: float(v) for k, v in metrics.items()}}
+        row = {"epoch": epoch, **{f"train/{n}": float(v) for n, v in zip(self.loss_names, mloss)},
+               **{k: float(v) for k, v in metrics.items()}}
         write_header = not self.csv.exists()
         self.csv.parent.mkdir(parents=True, exist_ok=True)
         with open(self.csv, "a", newline="") as f:
@@ -340,3 +364,97 @@ class BaseTrainer:
 
 class DetectionTrainer(BaseTrainer):
     task = "detect"
+
+
+class SegmentationTrainer(BaseTrainer):
+    """(reference: models/yolo/segment/train.py:11)"""
+
+    task = "segment"
+
+    def compute_loss(self, out, batch):
+        from spectrogram_yolov11_tpu.ops.losses import segmentation_loss
+
+        feats, mc, proto = out
+        return segmentation_loss(
+            feats, mc, proto, batch["cls"], batch["bboxes"], batch["mask_gt"], batch["masks"],
+            nc=self.data["nc"], imgsz=self.imgsz, strides=tuple(float(s) for s in self.model.stride),
+            hyp_box=float(self.args.box), hyp_cls=float(self.args.cls), hyp_dfl=float(self.args.dfl),
+            overlap=bool(self.args.overlap_mask),
+        )
+
+    @property
+    def loss_names(self):
+        return ["box_loss", "seg_loss", "cls_loss", "dfl_loss"]
+
+    def get_validator(self, ema_vars):
+        from spectrogram_yolov11_tpu.engine.validator import SegmentationValidator
+
+        return SegmentationValidator(
+            self.model, ema_vars,
+            overrides={"data": self.args.data, "imgsz": self.imgsz, "batch": self.batch_size,
+                       "workers": self.args.workers, "plots": False, "mask_ratio": self.args.mask_ratio},
+        )
+
+
+class PoseTrainer(BaseTrainer):
+    """(reference: models/yolo/pose/train.py:11)"""
+
+    task = "pose"
+
+    def compute_loss(self, out, batch):
+        from spectrogram_yolov11_tpu.ops.losses import pose_loss
+
+        feats, kpt_raw = out
+        return pose_loss(
+            feats, kpt_raw, batch["cls"], batch["bboxes"], batch["mask_gt"], batch["keypoints"],
+            nc=self.data["nc"], kpt_shape=tuple(self.data.get("kpt_shape", (17, 3))),
+            imgsz=self.imgsz, strides=tuple(float(s) for s in self.model.stride),
+            hyp_box=float(self.args.box), hyp_cls=float(self.args.cls), hyp_dfl=float(self.args.dfl),
+            hyp_pose=float(self.args.pose), hyp_kobj=float(self.args.kobj),
+        )
+
+    @property
+    def loss_names(self):
+        return ["box_loss", "pose_loss", "kobj_loss", "cls_loss", "dfl_loss"]
+
+    def get_validator(self, ema_vars):
+        from spectrogram_yolov11_tpu.engine.validator import PoseValidator
+
+        return PoseValidator(
+            self.model, ema_vars,
+            overrides={"data": self.args.data, "imgsz": self.imgsz, "batch": self.batch_size,
+                       "workers": self.args.workers, "plots": False},
+        )
+
+
+class OBBTrainer(BaseTrainer):
+    """(reference: models/yolo/obb/train.py:10)"""
+
+    task = "obb"
+
+    def compute_loss(self, out, batch):
+        from spectrogram_yolov11_tpu.ops.losses import obb_loss
+
+        feats, angle_raw = out
+        return obb_loss(
+            feats, angle_raw, batch["cls"], batch["bboxes"], batch["mask_gt"],
+            nc=self.data["nc"], imgsz=self.imgsz, strides=tuple(float(s) for s in self.model.stride),
+            hyp_box=float(self.args.box), hyp_cls=float(self.args.cls), hyp_dfl=float(self.args.dfl),
+        )
+
+    def get_validator(self, ema_vars):
+        from spectrogram_yolov11_tpu.engine.validator import OBBValidator
+
+        return OBBValidator(
+            self.model, ema_vars,
+            overrides={"data": self.args.data, "imgsz": self.imgsz, "batch": self.batch_size,
+                       "workers": self.args.workers, "plots": False},
+        )
+
+
+TASK2TRAINER = {
+    "detect": DetectionTrainer,
+    "segment": SegmentationTrainer,
+    "pose": PoseTrainer,
+    "obb": OBBTrainer,
+}

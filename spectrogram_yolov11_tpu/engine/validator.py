@@ -1,14 +1,14 @@
-"""Validator: mAP evaluation with the reference's exact protocol.
+"""Validators: mAP evaluation with the reference's exact protocol, per task.
 
-Counterpart of BaseValidator/DetectionValidator
-(/root/reference/ultralytics/engine/validator.py:42,
-models/yolo/detect/val.py:17): NMS at conf=0.001, iou=0.7, multi_label=True,
-max_det=300 (SURVEY A11); predictions and GT are un-letterboxed to native
-image space via the stored ratio_pad before greedy TP matching at 10 IoU
-thresholds.
+Counterparts of the reference validators (engine/validator.py:42 BaseValidator;
+models/yolo/{detect,segment,pose,obb,classify}/val.py): NMS at conf=0.001,
+iou=0.7, multi_label=True, max_det=300 (SURVEY A11); predictions and GT are
+un-letterboxed to native image space via the stored ratio_pad before greedy
+TP matching at 10 IoU thresholds. Segment adds mask TP via mask_iou at proto
+resolution; pose adds OKS TP; OBB matches with probiou on rotated boxes.
 
-Device work (forward+decode+NMS) is one jitted program; stat accumulation is
-host numpy.
+Device work (forward+decode+NMS[+mask einsum]) is one jitted program per
+task; stat accumulation is host numpy.
 """
 
 from __future__ import annotations
@@ -22,13 +22,49 @@ import numpy as np
 
 from spectrogram_yolov11_tpu.cfg import get_cfg
 from spectrogram_yolov11_tpu.data import DataLoader, YOLODataset, check_det_dataset
-from spectrogram_yolov11_tpu.ops.decode import decode_detections
-from spectrogram_yolov11_tpu.ops.metrics import ConfusionMatrix, DetMetrics, box_iou_np, match_predictions
-from spectrogram_yolov11_tpu.ops.nms import non_max_suppression
+from spectrogram_yolov11_tpu.ops.decode import decode_detections, decode_kpts, decode_obb
+from spectrogram_yolov11_tpu.ops.iou import batch_probiou, kpt_iou, mask_iou
+from spectrogram_yolov11_tpu.ops.metrics import (
+    ClassifyMetrics,
+    ConfusionMatrix,
+    DetMetrics,
+    OBBMetrics,
+    PoseMetrics,
+    SegmentMetrics,
+    box_iou_np,
+    match_predictions,
+)
+from spectrogram_yolov11_tpu.ops.nms import nms_rotated, non_max_suppression, non_max_suppression_extras
 from spectrogram_yolov11_tpu.utils import DEFAULT_CFG, LOGGER, TQDM
 
 
+def _unletterbox_boxes(det: np.ndarray, ratio: float, dw: float, dh: float, ow: int, oh: int) -> np.ndarray:
+    if len(det):
+        det[:, [0, 2]] -= dw
+        det[:, [1, 3]] -= dh
+        det[:, :4] /= ratio
+        det[:, [0, 2]] = det[:, [0, 2]].clip(0, ow)
+        det[:, [1, 3]] = det[:, [1, 3]].clip(0, oh)
+    return det
+
+
+def _gt_native(batch, i, imgsz) -> tuple:
+    """GT labels of image i in native pixel space -> (cls, xyxy)."""
+    m = batch["mask_gt"][i]
+    ratio, dw, dh = (float(x) for x in batch["ratio_pad"][i])
+    gt_cls = batch["cls"][i][m].astype(int)
+    g = batch["bboxes"][i][m] * imgsz
+    gxyxy = np.stack([g[:, 0] - g[:, 2] / 2, g[:, 1] - g[:, 3] / 2, g[:, 0] + g[:, 2] / 2, g[:, 1] + g[:, 3] / 2], 1)
+    if len(gxyxy):
+        gxyxy[:, [0, 2]] -= dw
+        gxyxy[:, [1, 3]] -= dh
+        gxyxy /= ratio
+    return gt_cls, gxyxy
+
+
 class DetectionValidator:
+    task = "detect"
+
     def __init__(self, model, variables, overrides: Optional[dict] = None, dataloader: Optional[DataLoader] = None):
         self.model = model
         self.variables = variables
@@ -40,7 +76,9 @@ class DetectionValidator:
         self.iouv = np.linspace(0.5, 0.95, 10)
         self.names = dict(getattr(model, "names", {}))
         self._device_fn = None
+        self.data: Optional[dict] = None
 
+    # ------------- hooks ---------------------------------------------------
     def _build_device_fn(self):
         model, args = self.model, self.args
         nc, strides = model.nc, tuple(float(s) for s in model.stride)
@@ -51,107 +89,319 @@ class DetectionValidator:
             feats = model.apply(variables, x, train=False)
             preds = decode_detections(feats, nc=nc, strides=strides)
             return non_max_suppression(
-                preds,
-                conf_thres=float(args.conf),
-                iou_thres=float(args.iou),
-                nc=nc,
-                multi_label=True,
-                agnostic=bool(args.agnostic_nms or args.single_cls),
-                max_det=int(args.max_det),
-                pre_nms_topk=2048,
+                preds, conf_thres=float(args.conf), iou_thres=float(args.iou), nc=nc,
+                multi_label=True, agnostic=bool(args.agnostic_nms or args.single_cls),
+                max_det=int(args.max_det), pre_nms_topk=2048,
             )
 
         return run
 
+    def init_metrics(self):
+        self.stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
+        self.confusion_matrix = ConfusionMatrix(nc=self.model.nc, conf=self.args.conf)
+
+    def update_stats(self, out, batch, i):
+        out_np, nv = out
+        n = int(nv[i])
+        det = out_np[i, :n, :6].copy()
+        ori_h, ori_w = (int(x) for x in batch["ori_shape"][i])
+        ratio, dw, dh = (float(x) for x in batch["ratio_pad"][i])
+        det = _unletterbox_boxes(det, ratio, dw, dh, ori_w, ori_h)
+        gt_cls, gxyxy = _gt_native(batch, i, self.imgsz)
+        self.stats["target_cls"].append(gt_cls)
+        if n == 0:
+            self.stats["tp"].append(np.zeros((0, 10), bool))
+            self.stats["conf"].append(np.zeros(0))
+            self.stats["pred_cls"].append(np.zeros(0))
+            if len(gt_cls) and self.args.plots:
+                self.confusion_matrix.process_batch(None, gxyxy, gt_cls)
+            return
+        iou = box_iou_np(gxyxy, det[:, :4]) if len(gt_cls) else np.zeros((0, n))
+        tp = match_predictions(det[:, 5].astype(int), gt_cls, iou, self.iouv) if len(gt_cls) else np.zeros((n, 10), bool)
+        self.stats["tp"].append(tp)
+        self.stats["conf"].append(det[:, 4])
+        self.stats["pred_cls"].append(det[:, 5])
+        if self.args.plots:
+            self.confusion_matrix.process_batch(det, gxyxy, gt_cls)
+
+    def get_metrics(self):
+        metrics = DetMetrics(names=self.names)
+        if self.stats["conf"]:
+            metrics.process(
+                np.concatenate(self.stats["tp"]) if self.stats["tp"] else np.zeros((0, 10), bool),
+                np.concatenate(self.stats["conf"]),
+                np.concatenate(self.stats["pred_cls"]),
+                np.concatenate(self.stats["target_cls"]) if self.stats["target_cls"] else np.zeros(0),
+            )
+        return metrics
+
     def get_dataloader(self, data: dict, batch_size: int) -> DataLoader:
         ds = YOLODataset(
-            data["val"],
-            imgsz=self.imgsz,
-            augment=False,
-            nc=data["nc"],
-            max_gt=256,
-            single_cls=self.args.single_cls,
+            data["val"], imgsz=self.imgsz, augment=False, nc=data["nc"], max_gt=256,
+            single_cls=self.args.single_cls, task=self.task,
+            kpt_shape=data.get("kpt_shape", (17, 3)), mask_ratio=int(self.args.mask_ratio),
         )
         return DataLoader(ds, batch_size=batch_size, shuffle=False, drop_last=False,
                           workers=self.args.workers, seed=self.args.seed)
 
+    # ------------- the loop -------------------------------------------------
     def __call__(self, data: Optional[str | dict] = None) -> Dict[str, float]:
         args = self.args
         if self.dataloader is None:
-            d = check_det_dataset(data or args.data)
-            self.names = d["names"]
-            self.dataloader = self.get_dataloader(d, int(args.batch))
+            self.data = check_det_dataset(data or args.data)
+            self.names = self.data["names"]
+            self.dataloader = self.get_dataloader(self.data, int(args.batch))
         if self._device_fn is None:
             self._device_fn = self._build_device_fn()
-
-        stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
-        cm = ConfusionMatrix(nc=self.model.nc, conf=args.conf)
-        n_img = 0
-        t_infer = 0.0
+        self.init_metrics()
+        n_img, t_infer = 0, 0.0
         for batch in TQDM(self.dataloader, desc="val"):
             t0 = time.perf_counter()
-            out, nv = self._device_fn(self.variables, jnp.asarray(batch["img"]))
-            out = np.asarray(jax.block_until_ready(out))
-            nv = np.asarray(nv)
+            out = self._device_fn(self.variables, jnp.asarray(batch["img"]))
+            out = jax.block_until_ready(out)
+            out = tuple(np.asarray(o) for o in out) if isinstance(out, (tuple, list)) else np.asarray(out)
             t_infer += time.perf_counter() - t0
             bsz = int(batch["n_valid"])
             n_img += bsz
             for i in range(bsz):
-                n = int(nv[i])
-                det = out[i, :n].copy()  # letterbox space xyxy conf cls
-                ori_h, ori_w = (int(x) for x in batch["ori_shape"][i])
-                ratio, dw, dh = (float(x) for x in batch["ratio_pad"][i])
-                # un-letterbox predictions (reference scale_boxes with stored ratio_pad)
-                if n:
-                    det[:, [0, 2]] -= dw
-                    det[:, [1, 3]] -= dh
-                    det[:, :4] /= ratio
-                    det[:, [0, 2]] = det[:, [0, 2]].clip(0, ori_w)
-                    det[:, [1, 3]] = det[:, [1, 3]].clip(0, ori_h)
-                # GT: normalized xywh in letterbox space -> native xyxy
-                m = batch["mask_gt"][i]
-                gt_cls = batch["cls"][i][m].astype(int)
-                gxywh = batch["bboxes"][i][m] * self.imgsz
-                gxyxy = np.stack(
-                    [gxywh[:, 0] - gxywh[:, 2] / 2, gxywh[:, 1] - gxywh[:, 3] / 2,
-                     gxywh[:, 0] + gxywh[:, 2] / 2, gxywh[:, 1] + gxywh[:, 3] / 2], axis=1)
-                if len(gxyxy):
-                    gxyxy[:, [0, 2]] -= dw
-                    gxyxy[:, [1, 3]] -= dh
-                    gxyxy /= ratio
-                stats["target_cls"].append(gt_cls)
-                if n == 0:
-                    stats["tp"].append(np.zeros((0, 10), bool))
-                    stats["conf"].append(np.zeros(0))
-                    stats["pred_cls"].append(np.zeros(0))
-                    if len(gt_cls) and args.plots:
-                        cm.process_batch(None, gxyxy, gt_cls)
-                    continue
-                iou = box_iou_np(gxyxy, det[:, :4]) if len(gt_cls) else np.zeros((0, n))
-                tp = (
-                    match_predictions(det[:, 5].astype(int), gt_cls, iou, self.iouv)
-                    if len(gt_cls)
-                    else np.zeros((n, 10), bool)
-                )
-                stats["tp"].append(tp)
-                stats["conf"].append(det[:, 4])
-                stats["pred_cls"].append(det[:, 5])
-                if args.plots:
-                    cm.process_batch(det, gxyxy, gt_cls)
-
-        metrics = DetMetrics(names=self.names)
-        if stats["conf"]:
-            metrics.process(
-                np.concatenate(stats["tp"]) if stats["tp"] else np.zeros((0, 10), bool),
-                np.concatenate(stats["conf"]),
-                np.concatenate(stats["pred_cls"]),
-                np.concatenate(stats["target_cls"]) if stats["target_cls"] else np.zeros(0),
-            )
-        self.confusion_matrix = cm
-        self.metrics = metrics
-        mp, mr, map50, map5095 = metrics.mean_results()
+                self.update_stats(out, batch, i)
+        self.metrics = self.get_metrics()
+        self.metrics.speed["inference"] = t_infer / max(n_img, 1) * 1e3
+        res = self.metrics.mean_results()
         LOGGER.info(
-            f"val: {n_img} images  P {mp:.3f}  R {mr:.3f}  mAP50 {map50:.3f}  mAP50-95 {map5095:.3f}"
-            f"  ({t_infer / max(n_img, 1) * 1e3:.1f} ms/img device)"
+            f"val[{self.task}]: {n_img} images  " + "  ".join(f"{v:.3f}" for v in res)
+            + f"  ({t_infer / max(n_img, 1) * 1e3:.1f} ms/img device)"
         )
-        return metrics.results_dict
+        return self.metrics.results_dict
+
+
+class SegmentationValidator(DetectionValidator):
+    """Box + mask mAP (reference: models/yolo/segment/val.py). Mask TP is
+    computed at proto resolution against the index-encoded GT instance mask."""
+
+    task = "segment"
+
+    def _build_device_fn(self):
+        model, args = self.model, self.args
+        nc, strides = model.nc, tuple(float(s) for s in model.stride)
+
+        @jax.jit
+        def run(variables, imgs_u8):
+            x = imgs_u8.astype(jnp.float32) / 255.0
+            feats, mc, proto = model.apply(variables, x, train=False)
+            preds = decode_detections(feats, nc=nc, strides=strides)
+            preds = jnp.concatenate([preds, mc], axis=-1)
+            out, nv = non_max_suppression_extras(
+                preds, conf_thres=float(args.conf), iou_thres=float(args.iou), nc=nc,
+                max_det=int(args.max_det), pre_nms_topk=1024,
+            )
+            masks = jax.nn.sigmoid(
+                jnp.einsum("bdk,bhwk->bdhw", out[..., 6:].astype(jnp.float32), proto.astype(jnp.float32))
+            ) > 0.5
+            return out[..., :6], nv, masks
+
+        return run
+
+    def update_stats(self, out, batch, i):
+        out_np, nv, masks = out
+        super().update_stats((out_np, nv), batch, i)
+        n = int(nv[i])
+        gt_cls = self.stats["target_cls"][-1]
+        if n == 0:
+            self.stats.setdefault("tp_m", []).append(np.zeros((0, 10), bool))
+            return
+        det_cls = out_np[i, :n, 5].astype(int)
+        if not len(gt_cls):
+            self.stats.setdefault("tp_m", []).append(np.zeros((n, 10), bool))
+            return
+        gt_inst = batch["masks"][i]  # (hm, wm) index-encoded
+        m_gt = np.stack([(gt_inst == (j + 1)) for j in range(len(gt_cls))]).reshape(len(gt_cls), -1)
+        m_pred = masks[i, :n].reshape(n, -1)
+        iou_m = np.asarray(mask_iou(jnp.asarray(m_gt, jnp.float32), jnp.asarray(m_pred, jnp.float32)))
+        tp_m = match_predictions(det_cls, gt_cls, iou_m, self.iouv)
+        self.stats.setdefault("tp_m", []).append(tp_m)
+
+    def get_metrics(self):
+        metrics = SegmentMetrics(names=self.names)
+        if self.stats["conf"]:
+            metrics.process(
+                np.concatenate(self.stats["tp"]),
+                np.concatenate(self.stats["conf"]),
+                np.concatenate(self.stats["pred_cls"]),
+                np.concatenate(self.stats["target_cls"]),
+                tp_m=np.concatenate(self.stats.get("tp_m", [np.zeros((0, 10), bool)])),
+            )
+        return metrics
+
+
+class PoseValidator(DetectionValidator):
+    """Box + OKS keypoint mAP (reference: models/yolo/pose/val.py)."""
+
+    task = "pose"
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.kpt_shape = tuple(getattr(self.model, "kpt_shape", (17, 3)))
+
+    def _build_device_fn(self):
+        model, args = self.model, self.args
+        nc, strides = model.nc, tuple(float(s) for s in model.stride)
+        nk, nd = self.kpt_shape
+
+        @jax.jit
+        def run(variables, imgs_u8):
+            x = imgs_u8.astype(jnp.float32) / 255.0
+            feats, kpt_raw = model.apply(variables, x, train=False)
+            shapes = [(f.shape[1], f.shape[2]) for f in feats]
+            kpts = decode_kpts(kpt_raw, (nk, nd), shapes, strides)  # (b, A, nk, <=3) letterbox px
+            preds = decode_detections(feats, nc=nc, strides=strides)
+            preds = jnp.concatenate([preds, kpts.reshape(kpts.shape[0], kpts.shape[1], -1)], axis=-1)
+            return non_max_suppression_extras(
+                preds, conf_thres=float(args.conf), iou_thres=float(args.iou), nc=nc,
+                max_det=int(args.max_det), pre_nms_topk=1024,
+            )
+
+        return run
+
+    def update_stats(self, out, batch, i):
+        out_np, nv = out[0], out[1]
+        super().update_stats((out_np, nv), batch, i)
+        n = int(nv[i])
+        gt_cls = self.stats["target_cls"][-1]
+        nk, nd = self.kpt_shape
+        key = "tp_p"
+        if n == 0:
+            self.stats.setdefault(key, []).append(np.zeros((0, 10), bool))
+            return
+        if not len(gt_cls):
+            self.stats.setdefault(key, []).append(np.zeros((n, 10), bool))
+            return
+        ratio, dw, dh = (float(x) for x in batch["ratio_pad"][i])
+        pk = out_np[i, :n, 6:].reshape(n, nk, -1).copy()
+        pk[..., 0] = (pk[..., 0] - dw) / ratio
+        pk[..., 1] = (pk[..., 1] - dh) / ratio
+        m = batch["mask_gt"][i]
+        gk = batch["keypoints"][i][m].copy()  # normalized letterbox coords
+        gk[..., 0] = (gk[..., 0] * self.imgsz - dw) / ratio
+        gk[..., 1] = (gk[..., 1] * self.imgsz - dh) / ratio
+        _, gxyxy = _gt_native(batch, i, self.imgsz)
+        area = (gxyxy[:, 2] - gxyxy[:, 0]) * (gxyxy[:, 3] - gxyxy[:, 1]) * 0.53
+        sigma = np.full(nk, 1.0 / nk)
+        iou_p = np.asarray(kpt_iou(jnp.asarray(gk), jnp.asarray(pk), jnp.asarray(area), sigma))
+        tp_p = match_predictions(out_np[i, :n, 5].astype(int), gt_cls, iou_p, self.iouv)
+        self.stats.setdefault(key, []).append(tp_p)
+
+    def get_metrics(self):
+        metrics = PoseMetrics(names=self.names)
+        if self.stats["conf"]:
+            metrics.process(
+                np.concatenate(self.stats["tp"]),
+                np.concatenate(self.stats["conf"]),
+                np.concatenate(self.stats["pred_cls"]),
+                np.concatenate(self.stats["target_cls"]),
+                tp_p=np.concatenate(self.stats.get("tp_p", [np.zeros((0, 10), bool)])),
+            )
+        return metrics
+
+
+class OBBValidator(DetectionValidator):
+    """Rotated-box mAP with probiou matching (reference: models/yolo/obb/val.py)."""
+
+    task = "obb"
+
+    def _build_device_fn(self):
+        model, args = self.model, self.args
+        nc, strides = model.nc, tuple(float(s) for s in model.stride)
+
+        @jax.jit
+        def run(variables, imgs_u8):
+            x = imgs_u8.astype(jnp.float32) / 255.0
+            feats, angle_raw = model.apply(variables, x, train=False)
+            preds = decode_obb(feats, angle_raw, nc=nc, strides=strides)  # (b, A, 5+nc): cx cy w h angle cls...
+            return nms_rotated(
+                preds, conf_thres=float(args.conf), iou_thres=float(args.iou), nc=nc,
+                max_det=int(args.max_det), pre_nms_topk=1024,
+            )
+
+        return run
+
+    def update_stats(self, out, batch, i):
+        out_np, nv = out
+        n = int(nv[i])
+        ratio, dw, dh = (float(x) for x in batch["ratio_pad"][i])
+        det = out_np[i, :n].copy()  # (n, 7): cx cy w h angle conf cls
+        if n:
+            det[:, 0] = (det[:, 0] - dw) / ratio
+            det[:, 1] = (det[:, 1] - dh) / ratio
+            det[:, 2:4] /= ratio
+        m = batch["mask_gt"][i]
+        gt_cls = batch["cls"][i][m].astype(int)
+        g = batch["bboxes"][i][m].copy()  # (m, 5) normalized letterbox cxcywh + angle
+        g[:, :4] *= self.imgsz
+        g[:, 0] = (g[:, 0] - dw) / ratio
+        g[:, 1] = (g[:, 1] - dh) / ratio
+        g[:, 2:4] /= ratio
+        self.stats["target_cls"].append(gt_cls)
+        if n == 0:
+            self.stats["tp"].append(np.zeros((0, 10), bool))
+            self.stats["conf"].append(np.zeros(0))
+            self.stats["pred_cls"].append(np.zeros(0))
+            return
+        if len(gt_cls):
+            iou = np.asarray(batch_probiou(jnp.asarray(g), jnp.asarray(det[:, :5])))
+            tp = match_predictions(det[:, 6].astype(int), gt_cls, iou, self.iouv)
+        else:
+            tp = np.zeros((n, 10), bool)
+        self.stats["tp"].append(tp)
+        self.stats["conf"].append(det[:, 5])
+        self.stats["pred_cls"].append(det[:, 6])
+
+    def get_metrics(self):
+        metrics = OBBMetrics(names=self.names)
+        if self.stats["conf"]:
+            metrics.process(
+                np.concatenate(self.stats["tp"]),
+                np.concatenate(self.stats["conf"]),
+                np.concatenate(self.stats["pred_cls"]),
+                np.concatenate(self.stats["target_cls"]),
+            )
+        return metrics
+
+
+class ClassificationValidator:
+    """top1/top5 (reference: models/yolo/classify/val.py)."""
+
+    task = "classify"
+
+    def __init__(self, model, variables, overrides: Optional[dict] = None):
+        self.model = model
+        self.variables = variables
+        self.args = get_cfg(DEFAULT_CFG, overrides or {})
+        self.imgsz = int(self.args.imgsz if isinstance(self.args.imgsz, int) else self.args.imgsz[0])
+
+    def __call__(self, data: Optional[str] = None) -> Dict[str, float]:
+        from spectrogram_yolov11_tpu.data.dataset import ClassificationDataset
+        from spectrogram_yolov11_tpu.data.build import DataLoader
+        from pathlib import Path
+
+        root = Path(data or self.args.data)
+        ds = ClassificationDataset(root / "val" if (root / "val").exists() else root, imgsz=self.imgsz)
+        dl = DataLoader(ds, batch_size=int(self.args.batch), shuffle=False, drop_last=False)
+        model = self.model
+
+        @jax.jit
+        def run(variables, imgs_u8):
+            logits = model.apply(variables, imgs_u8.astype(jnp.float32) / 255.0, train=False)
+            return jax.lax.top_k(logits, 5)[1]
+
+        targets, top5 = [], []
+        for batch in dl:
+            p5 = np.asarray(run(self.variables, jnp.asarray(batch["img"])))
+            bsz = int(batch["n_valid"])
+            top5.append(p5[:bsz])
+            targets.append(batch["cls"][:bsz])
+        m = ClassifyMetrics()
+        m.process(np.concatenate(targets), np.concatenate(top5))
+        self.metrics = m
+        LOGGER.info(f"val[classify]: top1 {m.top1:.3f} top5 {m.top5:.3f}")
+        return m.results_dict

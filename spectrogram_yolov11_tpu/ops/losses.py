@@ -153,3 +153,239 @@ def classification_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> Tuple[jnp.n
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
     return nll, jnp.stack([nll])
+
+
+def crop_mask(masks: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """Zero mask pixels outside xyxy boxes via the arange trick
+    (reference: ops.py:660). masks (..., h, w), boxes (..., 4) in mask pixels."""
+    h, w = masks.shape[-2:]
+    x1, y1, x2, y2 = jnp.split(boxes[..., None, :], 4, axis=-1)  # (..., 1, 1) each
+    rows = jnp.arange(h, dtype=jnp.float32)[:, None]
+    cols = jnp.arange(w, dtype=jnp.float32)[None, :]
+    inside = (cols >= x1) & (cols < x2) & (rows >= y1) & (rows < y2)  # (..., h, w)
+    return masks * inside
+
+
+def _assign_for_feats(feats, cls, bboxes, mask_gt, nc, reg_max, imgsz, strides, tal_topk=10):
+    """Shared front half of all detect-family losses: flatten, decode, assign."""
+    b = feats[0].shape[0]
+    shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    anchor_points, stride_t = make_anchors(shapes, strides)
+    x = flatten_feats(feats).astype(jnp.float32)
+    pred_dist_logits = x[..., : 4 * reg_max].reshape(b, -1, 4, reg_max)
+    pred_scores = x[..., 4 * reg_max :]
+    pd = jax.nn.softmax(pred_dist_logits, axis=-1) @ jnp.arange(reg_max, dtype=jnp.float32)
+    pred_bboxes = dist2bbox(pd, anchor_points[None], xywh=False)
+    gt_labels, gt_xyxy_px, mask_gt3 = preprocess_targets(cls, bboxes, mask_gt, float(imgsz))
+    assign = task_aligned_assign(
+        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+        jax.lax.stop_gradient(pred_bboxes * stride_t[None]),
+        anchor_points * stride_t,
+        gt_labels, gt_xyxy_px, mask_gt3,
+        topk=tal_topk, num_classes=nc,
+    )
+    return anchor_points, stride_t, pred_dist_logits, pred_scores, pred_bboxes, assign
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nc", "reg_max", "imgsz", "strides", "hyp_box", "hyp_cls", "hyp_dfl", "max_fg", "overlap"),
+)
+def segmentation_loss(
+    feats: List[jnp.ndarray],
+    mask_coeffs: jnp.ndarray,  # (b, A, nm)
+    proto: jnp.ndarray,  # (b, hm, wm, nm)
+    cls: jnp.ndarray,
+    bboxes: jnp.ndarray,
+    mask_gt: jnp.ndarray,
+    gt_masks: jnp.ndarray,  # (b, hm, wm) index-encoded: pixel = gt_idx+1, 0 = bg
+    nc: int,
+    reg_max: int = 16,
+    imgsz: int = 640,
+    strides: Tuple[float, ...] = (8.0, 16.0, 32.0),
+    hyp_box: float = 7.5,
+    hyp_cls: float = 0.5,
+    hyp_dfl: float = 1.5,
+    max_fg: int = 128,
+    overlap: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """v8SegmentationLoss (reference: loss.py:278-458): detect losses + per-fg
+    BCE(coeff @ proto vs instance mask) cropped to the box, / box area.
+
+    TPU deviation (documented): the per-image fg set is capped at `max_fg`
+    anchors (highest target-score first) so the mask einsum keeps a static
+    shape; the reference iterates all fg anchors dynamically.
+    """
+    b = feats[0].shape[0]
+    anchor_points, stride_t, pdl, pred_scores, pred_bboxes, assign = _assign_for_feats(
+        feats, cls, bboxes, mask_gt, nc, reg_max, imgsz, strides
+    )
+    target_scores_sum = jnp.maximum(assign.target_scores.sum(), 1.0)
+    loss_cls = _bce_logits(pred_scores, assign.target_scores).sum() / target_scores_sum
+    loss_iou, loss_dfl = bbox_loss(
+        pdl, pred_bboxes, anchor_points, assign.target_bboxes / stride_t[None],
+        assign.target_scores, target_scores_sum, assign.fg_mask, reg_max,
+    )
+
+    # ---- mask branch ----
+    hm, wm, nm = proto.shape[1], proto.shape[2], proto.shape[3]
+    score_rank = jnp.where(assign.fg_mask, assign.target_scores.sum(-1), -1.0)
+    _, sel = jax.lax.top_k(score_rank, max_fg)  # (b, max_fg) anchor ids
+    sel_fg = jnp.take_along_axis(assign.fg_mask, sel, axis=1)  # (b, max_fg)
+    sel_gt_idx = jnp.take_along_axis(assign.target_gt_idx, sel, axis=1)
+    sel_coeff = jnp.take_along_axis(mask_coeffs.astype(jnp.float32), sel[..., None], axis=1)  # (b,K,nm)
+    sel_boxes_px = jnp.take_along_axis(assign.target_bboxes, sel[..., None], axis=1)  # (b,K,4) pixels
+
+    pred_masks = jnp.einsum("bkn,bhwn->bkhw", sel_coeff, proto.astype(jnp.float32))
+    if overlap:
+        gt_m = (gt_masks[:, None, :, :] == (sel_gt_idx[..., None, None] + 1)).astype(jnp.float32)
+    else:
+        gt_m = jnp.take_along_axis(gt_masks, sel_gt_idx[..., None, None], axis=1).astype(jnp.float32)
+
+    bce = _bce_logits(pred_masks, gt_m)  # (b,K,hm,wm)
+    boxes_m = sel_boxes_px * (hm / float(imgsz))  # to mask pixels
+    cropped = crop_mask(bce, boxes_m)
+    area = jnp.clip((boxes_m[..., 2] - boxes_m[..., 0]) * (boxes_m[..., 3] - boxes_m[..., 1]), 1.0, None)
+    per_anchor = cropped.sum(axis=(-2, -1)) / area  # == crop(BCE).mean over box pixels
+    loss_mask = (per_anchor * sel_fg).sum() / jnp.maximum(sel_fg.sum(), 1.0)
+
+    items = jnp.stack([hyp_box * loss_iou, hyp_box * loss_mask, hyp_cls * loss_cls, hyp_dfl * loss_dfl])
+    return items.sum() * b, items
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nc", "kpt_shape", "reg_max", "imgsz", "strides", "hyp_box", "hyp_cls", "hyp_dfl", "hyp_pose", "hyp_kobj"),
+)
+def pose_loss(
+    feats: List[jnp.ndarray],
+    pred_kpts_raw: jnp.ndarray,  # (b, A, nk*nd)
+    cls: jnp.ndarray,
+    bboxes: jnp.ndarray,
+    mask_gt: jnp.ndarray,
+    gt_kpts: jnp.ndarray,  # (b, max_gt, nk, nd) normalized xy (+v)
+    nc: int,
+    kpt_shape: Tuple[int, int] = (17, 3),
+    reg_max: int = 16,
+    imgsz: int = 640,
+    strides: Tuple[float, ...] = (8.0, 16.0, 32.0),
+    hyp_box: float = 7.5,
+    hyp_cls: float = 0.5,
+    hyp_dfl: float = 1.5,
+    hyp_pose: float = 12.0,
+    hyp_kobj: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """v8PoseLoss (reference: loss.py:461-613): detect losses + OKS-style
+    keypoint location loss + keypoint-visibility BCE, masked over fg anchors."""
+    b = feats[0].shape[0]
+    nk, nd = kpt_shape
+    anchor_points, stride_t, pdl, pred_scores, pred_bboxes, assign = _assign_for_feats(
+        feats, cls, bboxes, mask_gt, nc, reg_max, imgsz, strides
+    )
+    target_scores_sum = jnp.maximum(assign.target_scores.sum(), 1.0)
+    loss_cls = _bce_logits(pred_scores, assign.target_scores).sum() / target_scores_sum
+    loss_iou, loss_dfl = bbox_loss(
+        pdl, pred_bboxes, anchor_points, assign.target_bboxes / stride_t[None],
+        assign.target_scores, target_scores_sum, assign.fg_mask, reg_max,
+    )
+
+    # decode kpts in grid units (reference: v8PoseLoss.kpts_decode)
+    y = pred_kpts_raw.astype(jnp.float32).reshape(b, -1, nk, nd)
+    xy = y[..., :2] * 2.0 + (anchor_points[None, :, None, :] - 0.5)
+    # GT kpts to grid units of each anchor's stride
+    gt_xy_px = gt_kpts[..., :2] * imgsz  # (b, max_gt, nk, 2) pixels
+    sel_gt_kpts = jnp.take_along_axis(gt_xy_px, assign.target_gt_idx[..., None, None], axis=1)  # (b,A,nk,2)
+    sel_gt_kpts = sel_gt_kpts / stride_t[None, :, None, :]
+    if nd == 3:
+        gt_v = jnp.take_along_axis(gt_kpts[..., 2], assign.target_gt_idx[..., None], axis=1)  # (b,A,nk)
+        kpt_mask = (gt_v != 0).astype(jnp.float32)
+    else:
+        kpt_mask = jnp.ones(xy.shape[:-1], jnp.float32)
+
+    tb = assign.target_bboxes / stride_t[None]  # grid units xyxy
+    area = jnp.clip((tb[..., 2] - tb[..., 0]) * (tb[..., 3] - tb[..., 1]), 1e-9, None)[..., None]
+    d2 = ((xy - sel_gt_kpts) ** 2).sum(-1)
+    sigmas = jnp.full((nk,), 1.0 / nk, jnp.float32)  # reference OKS_SIGMA when nk==17, else uniform
+    if nk == 17:
+        sigmas = jnp.asarray(
+            [0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072, 0.062,
+             0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089], jnp.float32) * 2  # == OKS_SIGMA
+    e = d2 / (2 * sigmas[None, None]) ** 2 / (area + 1e-9) / 2
+    kpt_loss_factor = kpt_mask.shape[-1] / (jnp.sum(kpt_mask != 0, axis=-1, keepdims=True) + 1e-9)
+    loc = ((1 - jnp.exp(-e)) * kpt_mask * kpt_loss_factor)
+    fgw = assign.fg_mask.astype(jnp.float32)
+    n_fg = jnp.maximum(fgw.sum(), 1.0)
+    loss_kpt = (loc.mean(-1) * fgw).sum() / n_fg
+    if nd == 3:
+        vis_logit = y[..., 2]
+        loss_kobj = (_bce_logits(vis_logit, kpt_mask).mean(-1) * fgw).sum() / n_fg
+    else:
+        loss_kobj = jnp.zeros(())
+
+    items = jnp.stack(
+        [hyp_box * loss_iou, hyp_pose * loss_kpt, hyp_kobj * loss_kobj, hyp_cls * loss_cls, hyp_dfl * loss_dfl]
+    )
+    return items.sum() * b, items
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nc", "reg_max", "imgsz", "strides", "hyp_box", "hyp_cls", "hyp_dfl"),
+)
+def obb_loss(
+    feats: List[jnp.ndarray],
+    pred_angle: jnp.ndarray,  # (b, A, 1) raw
+    cls: jnp.ndarray,
+    bboxes: jnp.ndarray,  # (b, max_gt, 5) normalized cx cy w h + angle(rad)
+    mask_gt: jnp.ndarray,
+    nc: int,
+    reg_max: int = 16,
+    imgsz: int = 640,
+    strides: Tuple[float, ...] = (8.0, 16.0, 32.0),
+    hyp_box: float = 7.5,
+    hyp_cls: float = 0.5,
+    hyp_dfl: float = 1.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """v8OBBLoss (reference: loss.py:627-740): rotated TAL (probiou metric) +
+    (1 - probiou) box loss + DFL on the unrotated extent."""
+    b = feats[0].shape[0]
+    shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    anchor_points, stride_t = make_anchors(shapes, strides)
+    x = flatten_feats(feats).astype(jnp.float32)
+    pred_dist_logits = x[..., : 4 * reg_max].reshape(b, -1, 4, reg_max)
+    pred_scores = x[..., 4 * reg_max :]
+    angle = (jax.nn.sigmoid(pred_angle.astype(jnp.float32)) - 0.25) * np.pi  # (b, A, 1)
+    pd = jax.nn.softmax(pred_dist_logits, axis=-1) @ jnp.arange(reg_max, dtype=jnp.float32)
+    pred_rbox = dist2rbox(pd, angle, anchor_points[None])  # grid units (cx cy w h)
+
+    gt_cxywh = bboxes[..., :4] * imgsz
+    gt_angle = bboxes[..., 4:5]
+    gt_rbox_px = jnp.concatenate([gt_cxywh, gt_angle], axis=-1) * mask_gt[..., None]
+    gt_labels = cls[..., None]
+
+    pred_rbox_px = jnp.concatenate([pred_rbox * stride_t[None], angle], axis=-1)
+    assign = task_aligned_assign(
+        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+        jax.lax.stop_gradient(pred_rbox_px),
+        anchor_points * stride_t,
+        gt_labels, gt_rbox_px, mask_gt[..., None],
+        num_classes=nc, rotated=True,
+    )
+    target_scores_sum = jnp.maximum(assign.target_scores.sum(), 1.0)
+    loss_cls = _bce_logits(pred_scores, assign.target_scores).sum() / target_scores_sum
+
+    tb = assign.target_bboxes  # (b, A, 5) pixels
+    tb_grid = jnp.concatenate([tb[..., :4] / stride_t[None], tb[..., 4:5]], axis=-1)
+    weight = assign.target_scores.sum(-1) * assign.fg_mask
+    pred_full = jnp.concatenate([pred_rbox, angle], axis=-1)
+    iou = jnp.clip(probiou(pred_full, tb_grid), 0, None)
+    loss_iou = ((1.0 - iou) * weight).sum() / target_scores_sum
+    # DFL on the axis-aligned extent of the target rbox (reference RotatedBboxLoss)
+    half = tb_grid[..., 2:4] / 2
+    txyxy = jnp.concatenate([tb_grid[..., :2] - half, tb_grid[..., :2] + half], axis=-1)
+    target_ltrb = bbox2dist(anchor_points, txyxy, reg_max - 1)
+    ldfl = df_loss(pred_dist_logits, target_ltrb, reg_max)[..., 0]
+    loss_dfl = (ldfl * weight).sum() / target_scores_sum
+
+    items = jnp.stack([hyp_box * loss_iou, hyp_cls * loss_cls, hyp_dfl * loss_dfl])
+    return items.sum() * b, items

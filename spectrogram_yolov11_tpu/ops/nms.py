@@ -119,6 +119,51 @@ def non_max_suppression(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("conf_thres", "iou_thres", "nc", "max_det", "pre_nms_topk", "multi_label")
+)
+def non_max_suppression_extras(
+    preds: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    nc: int = 80,
+    max_det: int = 300,
+    pre_nms_topk: int = 1024,
+    multi_label: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NMS over (B, A, 4+nc+E): extras (mask coeffs, keypoints, ...) ride along
+    with the kept boxes. Returns ((B, max_det, 6+E) [xyxy conf cls extras...],
+    n_valid (B,)). Single-label candidate selection (extras are per-anchor)."""
+
+    def single(p):
+        boxes_xywh = p[:, :4]
+        scores = p[:, 4 : 4 + nc]
+        extra = p[:, 4 + nc :]
+        a = scores.shape[0]
+        k = min(pre_nms_topk, a)
+        best_cls = jnp.argmax(scores, axis=-1)
+        best_score = jnp.max(scores, axis=-1)
+        top_scores, anchor = jax.lax.top_k(best_score, k)
+        cls = best_cls[anchor].astype(jnp.float32)
+        valid = top_scores > conf_thres
+        boxes = xywh2xyxy(boxes_xywh[anchor])
+        off = (cls * 7680.0)[:, None]
+        keep = _greedy_keep(box_iou(boxes + off, boxes + off), valid, iou_thres)
+        rank = jnp.where(keep, top_scores, -1.0)
+        sel_scores, sel = jax.lax.top_k(rank, min(max_det, k))
+        sel_valid = sel_scores > conf_thres
+        out = jnp.concatenate(
+            [boxes[sel], top_scores[sel][:, None], cls[sel][:, None], extra[anchor][sel]], axis=-1
+        )
+        out = jnp.where(sel_valid[:, None], out, 0.0)
+        if max_det > k:
+            out = jnp.pad(out, ((0, max_det - k), (0, 0)))
+            sel_valid = jnp.pad(sel_valid, (0, max_det - k))
+        return out, jnp.sum(sel_valid.astype(jnp.int32))
+
+    return jax.vmap(single)(preds)
+
+
+@functools.partial(
     jax.jit, static_argnames=("conf_thres", "iou_thres", "nc", "multi_label", "max_det", "pre_nms_topk")
 )
 def nms_rotated(

@@ -293,7 +293,10 @@ class Focus(nn.Module):
 
 
 class GhostConv(nn.Module):
-    """Ghost Convolution: half real conv, half cheap dw conv (reference: conv.py:991)."""
+    """Ghost Convolution: half real conv, half cheap conv (reference: conv.py:991).
+
+    NOTE: the fork modifies the stock cheap branch (5x5 depthwise) to a 3x3
+    dilation-2 full conv (conv.py:1004); we reproduce the fork's version."""
 
     c1: int
     c2: int
@@ -307,7 +310,7 @@ class GhostConv(nn.Module):
     def __call__(self, x, train: bool = False):
         c_ = self.c2 // 2
         y = Conv(self.c1, c_, self.k, self.s, None, self.g, act=self.act, dtype=self.dtype, name="cv1")(x, train)
-        y2 = Conv(c_, c_, 5, 1, None, c_, act=self.act, dtype=self.dtype, name="cv2")(y, train)
+        y2 = Conv(c_, c_, 3, 1, None, 1, d=2, act=self.act, dtype=self.dtype, name="cv2")(y, train)
         return jnp.concatenate((y, y2), axis=-1)
 
 
@@ -367,7 +370,12 @@ class SpatialAttention(nn.Module):
 
 
 class CBAM(nn.Module):
-    """Channel then spatial attention (reference: conv.py:1245)."""
+    """Channel then spatial attention (reference: conv.py:1245).
+
+    NOTE: parse_model's base-module arg rewrite passes (c1, c2) positionally,
+    so yaml rows like `[-1, 1, CBAM, [512]]` feed the scaled channel count
+    into kernel_size — the reference asserts kernel in {3,7} and would crash
+    on its own yolo11_CBam.yaml. We clamp to 7 instead so the config runs."""
 
     c1: int
     kernel_size: int = 7
@@ -375,8 +383,9 @@ class CBAM(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        k = self.kernel_size if self.kernel_size in {3, 7} else 7
         x = ChannelAttention(self.c1, dtype=self.dtype, name="channel_attention")(x, train)
-        return SpatialAttention(self.kernel_size, dtype=self.dtype, name="spatial_attention")(x, train)
+        return SpatialAttention(k, dtype=self.dtype, name="spatial_attention")(x, train)
 
 
 class Concat(nn.Module):

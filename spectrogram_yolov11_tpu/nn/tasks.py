@@ -86,6 +86,48 @@ MODULE_REGISTRY: Dict[str, Any] = {
     "Pose": M.Pose,
     "OBB": M.OBB,
     "Classify": M.Classify,
+    # fork-authored modules (nn/modules/fork.py)
+    "SELayer": M.SELayer,
+    "SaELayer": M.SaELayer,
+    "Mix_SPPF": M.Mix_SPPF,
+    "SAPF": M.SAPF,
+    "HCoordAtt": M.HCoordAtt,
+    "MaxHCoordAtt": M.MaxHCoordAtt,
+    "CoordAtt": M.CoordAtt,
+    "AKCBAM": M.AKCBAM,
+    "LDConv": M.LDConv,
+    "Cross_AKConv": M.Cross_AKConv,
+    "ConvOMN": M.ConvOMN,
+    "DDWConv": M.DDWConv,
+    "MaxConv": M.MaxConv,
+    "MaxConvHCA": M.MaxConvHCA,
+    "FilterMaxConv": M.FilterMaxConv,
+    "PartialConvMax": M.PartialConvMax,
+    "ConvHCA": M.ConvHCA,
+    "GhostConvMax": M.GhostConvMax,
+    "GhostMaxConv": M.GhostMaxConv,
+    "GhostConvHCA": M.GhostConvHCA,
+    "RecycleConv": M.RecycleConv,
+    "Fusion": M.Fusion,
+    "SelectChannel": M.SelectChannel,
+    "BiFPN_WConcat": M.BiFPN_WConcat,
+    "BiFPN_WConcat2": M.BiFPN_WConcat2,
+    "BiFPN_WConcat3": M.BiFPN_WConcat3,
+    "XCBAM2C2f": M.XCBAM2C2f,
+    "C3GC": M.C3GC,
+    "C3k2GC": M.C3k2GC,
+    "C3MSCk2": M.C3MSCk2,
+    "BottleNect": M.BottleNect,
+    "GCT": M.GCT,
+    "GlobalContext": M.GlobalContext,
+    "ECAAttention": M.ECAAttention,
+    "MSCSpatialAttention": M.MSCSpatialAttention,
+    "SobelSpatialAttention": M.SobelSpatialAttention,
+    "WeightedSpatialAttention": M.WeightedSpatialAttention,
+    "DenseCross": M.DenseCross,
+    "DualChannelHConv": M.DualChannelHConv,
+    "Faster_Block": M.Faster_Block,
+    "MSBottleneck": M.MSBottleneck,
 }
 
 BASE_MODULES = {
@@ -93,10 +135,18 @@ BASE_MODULES = {
     M.SPP, M.SPPF, M.C2fPSA, M.C2PSA, M.DWConv, M.Focus, M.BottleneckCSP, M.C1, M.C2, M.C2f,
     M.C3k2, M.C3, M.C3k, M.RepC3, M.PSA, M.CBAM, M.SCDown, M.C2fCIB, M.Classify, M.LightConv,
     M.RepConv,
+    # fork modules registered as base modules (reference nn/tasks.py:988-1051)
+    M.RecycleConv, M.GhostConvHCA, M.LDConv, M.Cross_AKConv, M.Mix_SPPF, M.SELayer, M.SaELayer,
+    M.SAPF, M.DDWConv, M.ConvOMN, M.MaxConv, M.GhostMaxConv, M.ConvHCA, M.GhostConvMax,
+    M.FilterMaxConv, M.MaxConvHCA, M.C3k2GC, M.C3MSCk2, M.XCBAM2C2f, M.CoordAtt, M.HCoordAtt,
+    M.MaxHCoordAtt, M.AKCBAM, M.C3GC,
 }
-REPEAT_MODULES = {M.BottleneckCSP, M.C1, M.C2, M.C2f, M.C3k2, M.C3, M.RepC3, M.C2fPSA, M.C2fCIB, M.C2PSA, M.C3k}
+REPEAT_MODULES = {
+    M.BottleneckCSP, M.C1, M.C2, M.C2f, M.C3k2, M.C3, M.RepC3, M.C2fPSA, M.C2fCIB, M.C2PSA, M.C3k,
+    M.C3k2GC, M.C3MSCk2, M.XCBAM2C2f, M.C3GC,
+}
 HEAD_MODULES = {M.Detect, M.Segment, M.Pose, M.OBB}
-SCALE_SENSITIVE = {M.C3k2}  # modules whose args flip on m/l/x scales
+SCALE_SENSITIVE = {M.C3k2, M.C3k2GC, M.C3MSCk2, M.XCBAM2C2f}  # args[3] flips on m/l/x scales
 
 # Module classes that accept a `dtype` field
 _DTYPED = {cls for cls in MODULE_REGISTRY.values() if cls is not None and "dtype" in getattr(cls, "__dataclass_fields__", {})}
@@ -193,6 +243,22 @@ def parse_model(d: dict, ch: int, verbose: bool = True) -> Tuple[List[LayerSpec]
                         args.append(True)
         elif cls is M.Concat:
             c2 = sum(ch_list[x] for x in f)
+        elif cls in {M.BiFPN_WConcat2, M.BiFPN_WConcat3}:
+            c2 = sum(ch_list[x] for x in f)
+        elif cls is M.BiFPN_WConcat:
+            c2 = sum(ch_list[x] for x in f)
+            args = [tuple(ch_list[x] for x in f), *args]
+        elif cls is M.Fusion:
+            # reference hardcodes mode 'ESChannel' (nn/tasks.py:1133); output
+            # width = first input (sum only for 'concat')
+            mode = "ESChannel"
+            inc = tuple(ch_list[x] for x in f)
+            c2 = sum(inc) if mode == "concat" else ch_list[f[0]]
+            args = [inc, mode]
+            kwargs["c1"] = ch_list[f[0]]
+        elif cls is M.SelectChannel:
+            c2 = ch_list[f[0]]
+            args = [ch_list[f[0]]]
         elif cls is M.Index:
             c2 = args[0]
             args = args[1:]

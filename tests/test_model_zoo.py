@@ -1,0 +1,56 @@
+"""YAML-zoo instantiation sweep (reference: tests/test_python.py:219
+test_all_model_yamls) — every packaged model config must parse, build, and
+abstractly forward (jax.eval_shape: structure without compute)."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spectrogram_yolov11_tpu.nn.tasks import build_model, yaml_model_load
+
+YAMLS = sorted(
+    (Path(__file__).parents[1] / "spectrogram_yolov11_tpu" / "cfg" / "models").rglob("*.yaml")
+)
+
+
+@pytest.mark.parametrize("yaml_path", YAMLS, ids=lambda p: p.stem)
+def test_model_yaml_builds_and_forwards(yaml_path):
+    d = yaml_model_load(str(yaml_path))
+    d["scale"] = "n"
+    m = build_model(d, verbose=False)
+    x = jnp.zeros((1, 128, 128, 3))
+    vs = jax.eval_shape(lambda: m.graph.init(jax.random.PRNGKey(0), x, train=False))
+    out = jax.eval_shape(lambda v: m.graph.apply(v, x, train=False), vs)
+    assert out is not None
+
+
+def test_fork_module_numerics():
+    """Fork modules produce finite values on real (tiny) inputs."""
+    from spectrogram_yolov11_tpu.nn import modules as M
+    import numpy as np
+
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, 16, 16, 32)).astype(np.float32))
+    mods = [
+        M.HCoordAtt(32, 32), M.CoordAtt(32, 32), M.MaxHCoordAtt(32, 32), M.SELayer(32),
+        M.SaELayer(32), M.GCT(32), M.WeightedSpatialAttention(3), M.SobelSpatialAttention(7),
+        M.MSCSpatialAttention(32), M.BottleNect(32), M.FGM(32), M.GlobalContext(32),
+        M.Mix_SPPF(32, 32), M.SAPF(32, 32), M.LDConv(32, 16, 5), M.AKCBAM(32),
+        # DenseCross is only ever built with e=1.0 in the reference (C3MSCk);
+        # e=0.5 with c1==c2 is shape-inconsistent there too
+        M.Cross_AKConv(32, 32), M.DenseCross(32, 32, e=1.0), M.Faster_Block(32, 32),
+        M.XCBAM2C2f(32, 32, 1), M.C3k2GC(32, 32, 1), M.C3MSCk2(32, 32, 1, True),
+        M.RecycleConv(32, 32, 3, 1), M.GhostConvHCA(32, 32), M.GhostMaxConv(32, 32),
+        M.MaxConvHCA(32, 32), M.ConvOMN(32, 32), M.DDWConv(32, 32),
+    ]
+    for mod in mods:
+        v = mod.init(jax.random.PRNGKey(0), x, train=False)
+        y = mod.apply(v, x, train=False)
+        assert jnp.all(jnp.isfinite(y)), type(mod).__name__
+    # multi-input modules
+    for mod in [M.Fusion((32, 32), "ESChannel", 32), M.Fusion((32, 32), "bifpn"),
+                M.BiFPN_WConcat2(), M.SelectChannel(32)]:
+        v = mod.init(jax.random.PRNGKey(0), [x, x], train=False)
+        y = mod.apply(v, [x, x], train=False)
+        assert jnp.all(jnp.isfinite(y)), type(mod).__name__

@@ -1,0 +1,162 @@
+"""Exporter: serialize models for deployment.
+
+Counterpart of the reference 13-format Exporter (engine/exporter.py:185,
+format table at :5-22). TPU-native format set (availability-gated like the
+reference's lazy per-format deps):
+
+| format      | produces                       | consumer                        |
+|-------------|--------------------------------|---------------------------------|
+| ckpt        | .ckpt msgpack checkpoint       | this framework (AutoBackend)    |
+| stablehlo   | .stablehlo MLIR + .ckpt        | XLA AOT runtimes (incl. C++)    |
+| saved_model | TF SavedModel via jax2tf       | TF Serving (needs tensorflow)   |
+| tflite      | .tflite via jax2tf+converter   | LiteRT (needs tensorflow)       |
+| onnx        | .onnx via tf2onnx              | ONNX Runtime (needs tf2onnx)    |
+
+`nms=True` embeds decode+NMS into the exported graph (the reference's
+NMSModel wrapper, exporter.py:1525, is our default device pipeline anyway).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from spectrogram_yolov11_tpu.cfg import get_cfg, get_save_dir
+from spectrogram_yolov11_tpu.ops.decode import decode_detections
+from spectrogram_yolov11_tpu.ops.nms import non_max_suppression
+from spectrogram_yolov11_tpu.utils import DEFAULT_CFG, LOGGER
+
+
+def export_formats() -> dict:
+    """Capability matrix (reference: exporter.py:110)."""
+    import importlib.util
+
+    tf_ok = importlib.util.find_spec("tensorflow") is not None
+    return {
+        "ckpt": {"suffix": ".ckpt", "available": True},
+        "stablehlo": {"suffix": ".stablehlo", "available": True},
+        "saved_model": {"suffix": "_saved_model", "available": tf_ok},
+        "tflite": {"suffix": ".tflite", "available": tf_ok},
+        "onnx": {"suffix": ".onnx", "available": tf_ok and importlib.util.find_spec("tf2onnx") is not None},
+    }
+
+
+class Exporter:
+    def __init__(self, model, variables, overrides: Optional[dict] = None):
+        self.model = model
+        self.variables = variables
+        self.args = get_cfg(DEFAULT_CFG, {k: v for k, v in (overrides or {}).items() if k not in {"task", "model"}})
+        self.imgsz = int(self.args.imgsz if isinstance(self.args.imgsz, int) else self.args.imgsz[0])
+
+    def _forward_fn(self):
+        model = self.model
+        strides = tuple(float(s) for s in model.stride)
+        embed_nms = bool(self.args.nms)
+        conf = float(self.args.conf or 0.25)
+        iou = float(self.args.iou)
+        max_det = int(self.args.max_det)
+        dtype = jnp.bfloat16 if self.args.half else jnp.float32
+
+        def fwd(variables, imgs_u8):
+            x = imgs_u8.astype(jnp.float32) / 255.0
+            out = model.apply(variables, x, train=False)
+            feats = out[0] if isinstance(out, tuple) else out
+            if model.task == "classify":
+                return jax.nn.softmax(feats, axis=-1)
+            preds = decode_detections(feats, nc=model.nc, strides=strides)
+            if embed_nms:
+                return non_max_suppression(preds, conf_thres=conf, iou_thres=iou, nc=model.nc, max_det=max_det)
+            return preds
+
+        return fwd
+
+    def __call__(self) -> str:
+        fmt = str(self.args.format or "stablehlo").lower()
+        formats = export_formats()
+        if fmt not in formats:
+            raise ValueError(f"unknown export format '{fmt}'; choose from {list(formats)}")
+        if not formats[fmt]["available"]:
+            raise ModuleNotFoundError(
+                f"format '{fmt}' needs optional deps not present in this environment "
+                f"(availability matrix: { {k: v['available'] for k, v in formats.items()} })"
+            )
+        save_dir = get_save_dir(self.args, name="export")
+        save_dir.mkdir(parents=True, exist_ok=True)
+        stem = Path(str(self.args.model or "model")).stem or "model"
+        out = getattr(self, f"_export_{fmt}")(save_dir / stem)
+        LOGGER.info(f"Export complete: {out}")
+        return str(out)
+
+    def _export_ckpt(self, base: Path) -> Path:
+        from spectrogram_yolov11_tpu.engine.checkpoint import save_checkpoint
+
+        p = base.with_suffix(".ckpt")
+        save_checkpoint(
+            p, variables=self.variables, ema_variables=None, opt_state=None, epoch=-1,
+            best_fitness=0.0, updates=0,
+            model_yaml={k: v for k, v in self.model.yaml.items() if k != "yaml_file"},
+            names=self.model.names, nc=self.model.nc,
+        )
+        return p
+
+    def _export_stablehlo(self, base: Path) -> Path:
+        """AOT-lower the full inference pipeline to StableHLO MLIR text +
+        sidecar .ckpt with the weights. A C++ runtime can compile the MLIR
+        with XLA PjRt and feed the weights (see examples/cpp_inference)."""
+        fwd = self._forward_fn()
+        batch = 1 if self.args.batch in (None, -1, 16) else int(self.args.batch)
+        dummy = jnp.zeros((batch, self.imgsz, self.imgsz, 3), jnp.uint8)
+        lowered = jax.jit(fwd).lower(self.variables, dummy)
+        mlir_text = lowered.as_text()
+        p = base.with_suffix(".stablehlo")
+        p.write_text(mlir_text)
+        self._export_ckpt(base)
+        return p
+
+    def _export_saved_model(self, base: Path) -> Path:
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+
+        fwd = self._forward_fn()
+        variables = self.variables
+        f = jax2tf.convert(lambda x: fwd(variables, x), polymorphic_shapes=None)
+        module = tf.Module()
+        module.f = tf.function(
+            f, input_signature=[tf.TensorSpec([1, self.imgsz, self.imgsz, 3], tf.uint8)]
+        )
+        out = Path(str(base) + "_saved_model")
+        tf.saved_model.save(module, str(out))
+        return out
+
+    def _export_tflite(self, base: Path) -> Path:
+        import tensorflow as tf
+
+        sm = self._export_saved_model(base)
+        converter = tf.lite.TFLiteConverter.from_saved_model(str(sm))
+        if self.args.int8:
+            converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        blob = converter.convert()
+        p = base.with_suffix(".tflite")
+        p.write_bytes(blob)
+        return p
+
+    def _export_onnx(self, base: Path) -> Path:
+        import tf2onnx  # noqa: F401
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+
+        fwd = self._forward_fn()
+        variables = self.variables
+        f = tf.function(
+            jax2tf.convert(lambda x: fwd(variables, x)),
+            input_signature=[tf.TensorSpec([1, self.imgsz, self.imgsz, 3], tf.uint8)],
+        )
+        import tf2onnx.convert
+
+        p = base.with_suffix(".onnx")
+        tf2onnx.convert.from_function(f, input_signature=f.input_signature, output_path=str(p),
+                                      opset=int(self.args.opset or 17))
+        return p

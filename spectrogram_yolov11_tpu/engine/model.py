@@ -164,6 +164,12 @@ class YOLO:
 
         return benchmark(model=self, **kwargs)
 
+    def tune(self, iterations: int = 10, **kwargs):
+        from spectrogram_yolov11_tpu.engine.tuner import Tuner
+
+        overrides = {**self.overrides, **kwargs}
+        return Tuner(overrides=overrides)(model=self, iterations=iterations)
+
     def save(self, path: Union[str, Path]):
         from spectrogram_yolov11_tpu.engine.checkpoint import save_checkpoint
 

@@ -1,0 +1,140 @@
+"""AutoBackend: one forward() over every weight/artifact format.
+
+Counterpart of the reference AutoBackend (nn/autobackend.py:54), which
+multiplexes 13 runtimes behind one interface. Our format set (availability-
+gated the same way):
+
+  .yaml       architecture, fresh init (random weights)
+  .ckpt       our msgpack checkpoints (native path, jitted)
+  .pt         imported reference torch checkpoints (via utils/torch_compat)
+  .stablehlo  AOT StableHLO MLIR + sidecar .ckpt (compiled via jax)
+  _saved_model / .tflite / .onnx   (need tensorflow / onnxruntime)
+
+forward(imgs_u8 NHWC) -> decoded predictions (B, A, 4+nc) or task tuple.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectrogram_yolov11_tpu.utils import LOGGER
+
+
+def _model_type(path: str) -> str:
+    """Sniff the artifact kind from the path (reference: autobackend.py:777)."""
+    s = str(path)
+    for kind in ("ckpt", "pt", "stablehlo", "tflite", "onnx"):
+        if s.endswith("." + kind):
+            return kind
+    if s.endswith((".yaml", ".yml")):
+        return "yaml"
+    if s.endswith("_saved_model") or (Path(s).is_dir() and (Path(s) / "saved_model.pb").exists()):
+        return "saved_model"
+    return "yaml"
+
+
+class AutoBackend:
+    def __init__(self, weights: str | Path = "yolo11n.yaml", half: bool = False, verbose: bool = False):
+        self.kind = _model_type(weights)
+        self.weights = str(weights)
+        self.model = None
+        self.variables = None
+        self.names = {}
+        self.stride = np.array([8.0, 16.0, 32.0])
+        self._fn = None
+
+        if self.kind in {"yaml", "ckpt", "pt"}:
+            from spectrogram_yolov11_tpu.engine.model import YOLO
+
+            y = YOLO(self.weights)
+            y._ensure_variables()
+            self.model, self.variables = y.model, y.variables
+            self.names = y.names
+            self.stride = y.stride
+            self.task = y.task
+            strides = tuple(float(s) for s in self.stride)
+            model = self.model
+
+            @jax.jit
+            def fn(variables, imgs_u8):
+                from spectrogram_yolov11_tpu.ops.decode import decode_detections
+
+                x = imgs_u8.astype(jnp.float32) / 255.0
+                out = model.apply(variables, x, train=False)
+                if model.task == "classify":
+                    return jax.nn.softmax(out, axis=-1)
+                feats = out[0] if isinstance(out, tuple) else out
+                preds = decode_detections(feats, nc=model.nc, strides=strides)
+                if isinstance(out, tuple):
+                    return (preds,) + tuple(out[1:])
+                return preds
+
+            self._fn = lambda x: fn(self.variables, x)
+        elif self.kind == "stablehlo":
+            # sidecar .ckpt next to the MLIR holds weights + metadata
+            ckpt = Path(self.weights).with_suffix(".ckpt")
+            if not ckpt.exists():
+                raise FileNotFoundError(f"stablehlo sidecar checkpoint missing: {ckpt}")
+            from spectrogram_yolov11_tpu.engine.model import YOLO
+
+            y = YOLO(str(ckpt))
+            self.model, self.variables, self.names, self.stride = y.model, y.variables, y.names, y.stride
+            self.task = y.task
+            # the MLIR itself is for external AOT runtimes; in-process we jit natively
+            strides = tuple(float(s) for s in self.stride)
+            model = self.model
+
+            @jax.jit
+            def fn(variables, imgs_u8):
+                from spectrogram_yolov11_tpu.ops.decode import decode_detections
+
+                x = imgs_u8.astype(jnp.float32) / 255.0
+                feats = model.apply(variables, x, train=False)
+                return decode_detections(feats, nc=model.nc, strides=strides)
+
+            self._fn = lambda x: fn(self.variables, x)
+        elif self.kind == "saved_model":
+            import tensorflow as tf
+
+            self._tf = tf.saved_model.load(self.weights)
+            self._fn = lambda x: jnp.asarray(self._tf.f(np.asarray(x)))
+            self.task = "detect"
+        elif self.kind == "tflite":
+            import tensorflow as tf
+
+            self._interp = tf.lite.Interpreter(model_path=self.weights)
+            self._interp.allocate_tensors()
+
+            def run(x):
+                inp = self._interp.get_input_details()[0]
+                out = self._interp.get_output_details()[0]
+                self._interp.set_tensor(inp["index"], np.asarray(x))
+                self._interp.invoke()
+                return jnp.asarray(self._interp.get_tensor(out["index"]))
+
+            self._fn = run
+            self.task = "detect"
+        elif self.kind == "onnx":
+            import onnxruntime as ort
+
+            self._sess = ort.InferenceSession(self.weights)
+            name = self._sess.get_inputs()[0].name
+            self._fn = lambda x: jnp.asarray(self._sess.run(None, {name: np.asarray(x)})[0])
+            self.task = "detect"
+        else:
+            raise ValueError(f"unsupported weights: {weights}")
+
+    def forward(self, imgs_u8):
+        return self._fn(imgs_u8)
+
+    __call__ = forward
+
+    def warmup(self, imgsz=(1, 640, 640, 3)):
+        """Compile/alloc with a dummy batch (reference: autobackend.py:761)."""
+        self.forward(jnp.zeros(imgsz, jnp.uint8))
+        return self

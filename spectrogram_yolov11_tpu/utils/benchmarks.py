@@ -1,0 +1,97 @@
+"""Benchmark harness: export -> predict -> val across formats.
+
+Counterpart of the reference benchmark() (utils/benchmarks.py:51): for each
+available export format, run inference + validation and report a table with
+metric floors asserted. Also ProfileModels-style latency profiling for our
+formats (reference: benchmarks.py:336)."""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from spectrogram_yolov11_tpu.utils import LOGGER
+
+
+def benchmark(model=None, data: Optional[str] = None, imgsz: int = 640, half: bool = False,
+              verbose: bool = True, floor: float = 0.0) -> List[dict]:
+    """Run each available format through predict+val (reference: benchmarks.py:51)."""
+    from spectrogram_yolov11_tpu.engine.exporter import export_formats
+    from spectrogram_yolov11_tpu.engine.model import YOLO
+
+    if model is None:
+        model = YOLO("yolo11n.yaml")
+    rows = []
+    for fmt, meta in export_formats().items():
+        t0 = time.perf_counter()
+        status, metric, speed = "x", None, None
+        try:
+            if not meta["available"]:
+                raise ModuleNotFoundError("deps unavailable")
+            if fmt == "ckpt":
+                path = model.export(format="ckpt", imgsz=imgsz)
+            elif fmt == "stablehlo":
+                path = model.export(format="stablehlo", imgsz=imgsz)
+            else:
+                path = model.export(format=fmt, imgsz=imgsz)
+            # inference smoke on random frame
+            from spectrogram_yolov11_tpu.nn.autobackend import AutoBackend
+
+            backend = AutoBackend(path)
+            backend.warmup((1, imgsz, imgsz, 3))
+            t1 = time.perf_counter()
+            backend.forward(np.zeros((1, imgsz, imgsz, 3), np.uint8))
+            speed = (time.perf_counter() - t1) * 1e3
+            if data is not None:
+                res = model.val(data=data, imgsz=imgsz, batch=8)
+                metric = res.get("metrics/mAP50-95(B)")
+                assert metric is None or metric >= floor, f"mAP {metric} < floor {floor}"
+            status = "ok"
+        except Exception as e:  # pragma: no cover - env dependent
+            LOGGER.warning(f"benchmark: {fmt} failed: {e}")
+            status = f"fail: {str(e)[:60]}"
+        rows.append({"format": fmt, "status": status, "metric": metric, "ms": speed,
+                     "total_s": round(time.perf_counter() - t0, 1)})
+    if verbose:
+        LOGGER.info(f"{'format':<14}{'status':<28}{'mAP50-95':<10}{'ms/img':<8}")
+        for r in rows:
+            LOGGER.info(f"{r['format']:<14}{r['status']:<28}{str(r['metric']):<10}{str(r['ms']):<8}")
+    return rows
+
+
+class ProfileModels:
+    """Latency profiler over artifacts (reference: benchmarks.py:336)."""
+
+    def __init__(self, paths: List[str], imgsz: int = 640, num_warmup: int = 5, num_timed: int = 30):
+        self.paths = paths
+        self.imgsz = imgsz
+        self.num_warmup = num_warmup
+        self.num_timed = num_timed
+
+    def run(self) -> List[dict]:
+        import jax
+
+        from spectrogram_yolov11_tpu.nn.autobackend import AutoBackend
+
+        out = []
+        for p in self.paths:
+            backend = AutoBackend(p)
+            x = np.zeros((1, self.imgsz, self.imgsz, 3), np.uint8)
+            for _ in range(self.num_warmup):
+                r = backend.forward(x)
+            jax.block_until_ready(r)
+            times = []
+            for _ in range(self.num_timed):
+                t0 = time.perf_counter()
+                r = backend.forward(x)
+                jax.block_until_ready(r)
+                times.append((time.perf_counter() - t0) * 1e3)
+            arr = np.asarray(times)
+            row = {"model": str(p), "mean_ms": float(arr.mean()), "std_ms": float(arr.std()),
+                   "p50_ms": float(np.median(arr))}
+            LOGGER.info(f"{Path(p).name}: {row['mean_ms']:.2f} +/- {row['std_ms']:.2f} ms")
+            out.append(row)
+        return out

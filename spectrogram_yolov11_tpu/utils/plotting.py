@@ -1,0 +1,167 @@
+"""Plotting: training curves, PR/F1 curves, label stats, batch mosaics.
+
+Counterpart of the reference plotting utilities (utils/plotting.py: Colors:20,
+plot_images:1008, plot_labels:906, plot_results:1176, metrics.py:556 curve
+plots). matplotlib is availability-gated; box drawing uses cv2 (always
+present)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import cv2
+import numpy as np
+
+from spectrogram_yolov11_tpu.utils import LOGGER
+
+
+class Colors:
+    """The ultralytics color palette (reference: plotting.py:20)."""
+
+    def __init__(self):
+        hexs = (
+            "042AFF", "0BDBEB", "F3F3F3", "00DFB7", "111F68", "FF6FDD", "FF444F", "CCED00",
+            "00F344", "BD00FF", "00B4FF", "DD00BA", "00FFFF", "26C000", "01FFB3", "7D24FF",
+            "7B0068", "FF1B6C", "FC6D2F", "A2FF0B",
+        )
+        self.palette = [tuple(int(h[i : i + 2], 16) for i in (0, 2, 4)) for h in hexs]
+        self.n = len(self.palette)
+
+    def __call__(self, i: int, bgr: bool = False):
+        c = self.palette[int(i) % self.n]
+        return (c[2], c[1], c[0]) if bgr else c
+
+
+colors = Colors()
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_results(csv_file: str | Path, save_dir: Optional[Path] = None) -> Optional[Path]:
+    """Training curves from results.csv (reference: plotting.py:1176)."""
+    import csv as csvmod
+
+    csv_file = Path(csv_file)
+    if not csv_file.exists():
+        LOGGER.warning(f"plot_results: {csv_file} not found")
+        return None
+    with open(csv_file) as f:
+        rows = list(csvmod.DictReader(f))
+    if not rows:
+        return None
+    plt = _plt()
+    keys = [k for k in rows[0] if k != "epoch"]
+    n = len(keys)
+    ncols = min(5, n)
+    nrows = (n + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(4 * ncols, 3 * nrows), squeeze=False)
+    epochs = [float(r["epoch"]) for r in rows]
+    for i, k in enumerate(keys):
+        ax = axes[i // ncols][i % ncols]
+        vals = [float(r[k] or 0) for r in rows]
+        ax.plot(epochs, vals, marker=".")
+        ax.set_title(k, fontsize=9)
+    fig.tight_layout()
+    out = (save_dir or csv_file.parent) / "results.png"
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return out
+
+
+def plot_pr_curve(p_curve: np.ndarray, r_curve: np.ndarray, ap: np.ndarray, names: Dict[int, str],
+                  save_dir: Path, x: Optional[np.ndarray] = None) -> Path:
+    """PR curves per class (reference: metrics.py:556)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(7, 6))
+    for ci in range(p_curve.shape[0]):
+        ax.plot(r_curve[ci], p_curve[ci], label=f"{names.get(ci, ci)} {ap[ci, 0]:.3f}" if len(names) < 21 else None)
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    if len(names) < 21:
+        ax.legend(fontsize=7)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    out = save_dir / "PR_curve.png"
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
+
+
+def plot_labels(cls: np.ndarray, boxes_xywhn: np.ndarray, names: Dict[int, str], save_dir: Path) -> Optional[Path]:
+    """Label distribution plots (reference: plotting.py:906)."""
+    plt = _plt()
+    fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+    axes[0].hist(cls, bins=max(len(names), 2))
+    axes[0].set_title("classes")
+    axes[1].scatter(boxes_xywhn[:, 0], boxes_xywhn[:, 1], s=3, alpha=0.4)
+    axes[1].set_title("xy centers")
+    axes[2].scatter(boxes_xywhn[:, 2], boxes_xywhn[:, 3], s=3, alpha=0.4)
+    axes[2].set_title("wh")
+    fig.tight_layout()
+    save_dir.mkdir(parents=True, exist_ok=True)
+    out = save_dir / "labels.png"
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return out
+
+
+def plot_images(batch: Dict[str, np.ndarray], names: Dict[int, str], save_path: Path, max_imgs: int = 16,
+                imgsz_grid: int = 1920) -> Path:
+    """Annotated train-batch mosaic (reference: plotting.py:1008)."""
+    imgs = batch["img"][:max_imgs]
+    n = len(imgs)
+    cols = int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    h, w = imgs.shape[1:3]
+    canvas = np.full((rows * h, cols * w, 3), 255, np.uint8)
+    for i, im in enumerate(imgs):
+        r, c = divmod(i, cols)
+        tile = np.ascontiguousarray(im[..., ::-1])  # back to BGR for cv2
+        m = batch["mask_gt"][i]
+        cls = batch["cls"][i][m]
+        for b, k in zip(batch["bboxes"][i][m], cls):
+            if b.shape[-1] == 5:  # obb
+                pts = cv2.boxPoints(((b[0] * w, b[1] * h), (b[2] * w, b[3] * h), float(np.degrees(b[4]))))
+                cv2.polylines(tile, [pts.astype(np.int32)], True, colors(int(k), True), 2)
+            else:
+                x1 = int((b[0] - b[2] / 2) * w)
+                y1 = int((b[1] - b[3] / 2) * h)
+                x2 = int((b[0] + b[2] / 2) * w)
+                y2 = int((b[1] + b[3] / 2) * h)
+                cv2.rectangle(tile, (x1, y1), (x2, y2), colors(int(k), True), 2)
+        canvas[r * h : (r + 1) * h, c * w : (c + 1) * w] = tile
+    scale = imgsz_grid / max(canvas.shape[:2])
+    if scale < 1:
+        canvas = cv2.resize(canvas, (int(canvas.shape[1] * scale), int(canvas.shape[0] * scale)))
+    save_path.parent.mkdir(parents=True, exist_ok=True)
+    cv2.imwrite(str(save_path), canvas)
+    return save_path
+
+
+def feature_visualization(feats, module_type: str, stage: int, n: int = 32, save_dir: Path = Path("runs/features")):
+    """Channel-grid visualization of a feature map (reference: plotting.py:1347)."""
+    import math
+
+    f = np.asarray(feats[0] if feats.ndim == 4 else feats)  # (h, w, c)
+    c = min(n, f.shape[-1])
+    cols = int(math.ceil(math.sqrt(c)))
+    h, w = f.shape[:2]
+    canvas = np.zeros((cols * h, cols * w), np.float32)
+    for i in range(c):
+        r, cc = divmod(i, cols)
+        ch = f[..., i]
+        rng = ch.max() - ch.min()
+        canvas[r * h : (r + 1) * h, cc * w : (cc + 1) * w] = (ch - ch.min()) / (rng + 1e-6)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    out = save_dir / f"stage{stage}_{module_type.split('.')[-1]}.png"
+    cv2.imwrite(str(out), (canvas * 255).astype(np.uint8))
+    return out

@@ -33,6 +33,12 @@ from spectrogram_yolov11_tpu.ops.nms import non_max_suppression, non_max_suppres
 from spectrogram_yolov11_tpu.utils import LOGGER, DEFAULT_CFG
 
 
+def _norm_on_device(imgs_u8_bgr):
+    """BGR->RGB + /255 on device (free XLA fusions; keeps H2D payload uint8 BGR
+    straight from the native letterboxer)."""
+    return imgs_u8_bgr[..., ::-1].astype(jnp.float32) / 255.0
+
+
 class BasePredictor:
     """Detection predictor; subclasses adjust postprocess for other tasks."""
 
@@ -59,7 +65,7 @@ class BasePredictor:
 
         @jax.jit
         def run(variables, imgs_u8):
-            x = imgs_u8.astype(jnp.float32) / 255.0
+            x = _norm_on_device(imgs_u8)
             feats = model.apply(variables, x, train=False)
             preds = decode_detections(feats, nc=nc, strides=strides)
             return non_max_suppression(
@@ -85,10 +91,15 @@ class BasePredictor:
 
     # -- host pipeline ---------------------------------------------------
     def preprocess(self, imgs: List[np.ndarray]) -> np.ndarray:
-        """letterbox + BGR->RGB, stays uint8 (reference: predictor.py:118;
-        normalize happens on device)."""
-        out = np.stack([letterbox(im, (self.imgsz, self.imgsz))[0] for im in imgs])
-        return np.ascontiguousarray(out[..., ::-1])
+        """Native (C++) batch letterbox into a persistent buffer; stays uint8
+        BGR (reference: predictor.py:118). BGR->RGB + /255 happen on device."""
+        from spectrogram_yolov11_tpu.utils.native import NativeBatchLetterbox
+
+        n = len(imgs)
+        if getattr(self, "_lb", None) is None or self._lb.buf.shape[0] != n or self._lb.imgsz != self.imgsz:
+            self._lb = NativeBatchLetterbox(n, self.imgsz)
+        buf, _ = self._lb(imgs)
+        return buf
 
     def postprocess(self, out_dev, n_valid, orig_imgs, paths, speed) -> List[Results]:
         results = []
@@ -165,7 +176,7 @@ class SegmentationPredictor(BasePredictor):
 
         @jax.jit
         def run(variables, imgs_u8):
-            x = imgs_u8.astype(jnp.float32) / 255.0
+            x = _norm_on_device(imgs_u8)
             feats, mc, proto = model.apply(variables, x, train=False)
             preds = decode_detections(feats, nc=nc, strides=strides)
             preds = jnp.concatenate([preds, mc], axis=-1)  # carry coeffs through NMS select
@@ -228,7 +239,7 @@ class ClassificationPredictor(BasePredictor):
 
         @jax.jit
         def run(variables, imgs_u8):
-            x = imgs_u8.astype(jnp.float32) / 255.0
+            x = _norm_on_device(imgs_u8)
             logits = model.apply(variables, x, train=False)
             return jax.nn.softmax(logits, axis=-1)
 
@@ -260,7 +271,7 @@ class PosePredictor(BasePredictor):
 
         @jax.jit
         def run(variables, imgs_u8):
-            x = imgs_u8.astype(jnp.float32) / 255.0
+            x = _norm_on_device(imgs_u8)
             feats, kpt_raw = model.apply(variables, x, train=False)
             shapes = [(f.shape[1], f.shape[2]) for f in feats]
             kpts = decode_kpts(kpt_raw, (nk, nd), shapes, strides)
@@ -303,7 +314,7 @@ class OBBPredictor(BasePredictor):
 
         @jax.jit
         def run(variables, imgs_u8):
-            x = imgs_u8.astype(jnp.float32) / 255.0
+            x = _norm_on_device(imgs_u8)
             feats, angle_raw = model.apply(variables, x, train=False)
             preds = decode_obb(feats, angle_raw, nc=nc, strides=strides)
             return nms_rotated(

@@ -79,7 +79,7 @@ class ClassificationTrainer:
                     "ema_updates": upd}, loss
 
         jstep = jax.jit(step, donate_argnums=(0,))
-        mesh = get_mesh()
+        mesh = get_mesh(batch_size=self.batch_size)
         state = {
             "params": self.variables["params"],
             "batch_stats": self.variables["batch_stats"],

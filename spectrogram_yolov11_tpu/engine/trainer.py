@@ -226,7 +226,7 @@ class BaseTrainer:
         )
         groups = param_groups(self.variables["params"])
 
-        mesh = get_mesh()
+        mesh = get_mesh(batch_size=self.batch_size)
         state = {
             "params": self.variables["params"],
             "batch_stats": self.variables["batch_stats"],

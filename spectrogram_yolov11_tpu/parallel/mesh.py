@@ -21,8 +21,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def get_mesh(devices: Optional[list] = None, axis_name: str = "data") -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+def get_mesh(devices: Optional[list] = None, axis_name: str = "data", batch_size: Optional[int] = None) -> Mesh:
+    """Data mesh over all devices; if batch_size is given, restrict to the
+    largest device count that divides it (small-batch debugging runs)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if batch_size is not None:
+        n = len(devices)
+        while n > 1 and batch_size % n != 0:
+            n -= 1
+        devices = devices[:n]
     return Mesh(np.asarray(devices), (axis_name,))
 
 

@@ -1,0 +1,41 @@
+"""CLI entrypoint tests (reference: tests/test_cli.py — subprocess `yolo`
+commands; here we call entrypoint() in-process to stay on the CPU backend)."""
+
+import numpy as np
+import pytest
+
+from spectrogram_yolov11_tpu.cfg import entrypoint, parse_key_value_pairs
+
+
+def test_parse_kv():
+    out = parse_key_value_pairs(["imgsz=320", "lr0=0.01", "save=False", "name=exp", "classes=[0,1]"])
+    assert out == {"imgsz": 320, "lr0": 0.01, "save": False, "name": "exp", "classes": [0, 1]}
+
+
+def test_entrypoint_help_and_version(capsys):
+    assert entrypoint("yolo help") is None
+    assert entrypoint("yolo version") is None
+    assert entrypoint("yolo checks") is None
+
+
+def test_entrypoint_bad_arg():
+    with pytest.raises(SyntaxError):
+        entrypoint("yolo notacommand")
+    with pytest.raises(SyntaxError):
+        entrypoint("yolo detect train lr=0.01")  # typo'd key -> did-you-mean
+
+
+def test_entrypoint_train_smoke(tmp_path):
+    metrics = entrypoint(
+        "yolo detect train model=yolo11n.yaml data=shapes128.yaml epochs=1 imgsz=160 batch=4 "
+        f"workers=2 close_mosaic=0 project={tmp_path} name=cli exist_ok=True plots=False save=False"
+    )
+    assert "fitness" in metrics
+
+
+def test_entrypoint_predict(tmp_path):
+    res = entrypoint(
+        f"yolo predict model=yolo11n.yaml source=/root/repo/datasets/shapes128/images/val/00000.jpg "
+        f"imgsz=160 project={tmp_path} name=clipred exist_ok=True save=False"
+    )
+    assert isinstance(res, list) and len(res) == 1

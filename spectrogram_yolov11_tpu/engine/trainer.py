@@ -244,6 +244,12 @@ class BaseTrainer:
         step_fn = self._make_train_step(opt_cfg, groups, accumulate, wd_scaled)
 
         stopper = EarlyStopping(self.args.patience)
+        if self.args.profile:
+            # TPU equivalent of the reference's profiling hooks (SURVEY §5):
+            # an xplane trace viewable in TensorBoard / xprof
+            trace_dir = str(self.save_dir / "profile")
+            LOGGER.info(f"jax.profiler trace -> {trace_dir}")
+            jax.profiler.start_trace(trace_dir)
         run_callbacks(self.callbacks, "on_train_start", self)
         t_start = time.time()
         stop = False
@@ -293,6 +299,8 @@ class BaseTrainer:
             if stop:
                 break
 
+        if self.args.profile:
+            jax.profiler.stop_trace()
         # finalize: best.ckpt EMA-only (reference final_eval + strip_optimizer)
         if self.args.save and self.best.exists():
             strip_optimizer(self.best)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Optional, Tuple, Union
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -565,3 +566,201 @@ class HGBlock(nn.Module):
         y = Conv(self.c1 + self.n * self.cm, self.c2 // 2, 1, 1, act=self.act, dtype=self.dtype, name="sc")(y, train)
         y = Conv(self.c2 // 2, self.c2, 1, 1, act=self.act, dtype=self.dtype, name="ec")(y, train)
         return y + x if self.shortcut and self.c1 == self.c2 else y
+
+
+class RepBottleneck(nn.Module):
+    """Bottleneck with RepConv first stage (reference: block.py:1495)."""
+
+    c1: int
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    k: Any = (3, 3)
+    e: float = 0.5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = RepConv(self.c1, c_, self.k[0] if isinstance(self.k, (tuple, list)) else self.k, 1,
+                    dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(c_, self.c2, self.k[1] if isinstance(self.k, (tuple, list)) else self.k, 1, g=self.g,
+                 dtype=self.dtype, name="cv2")(y, train)
+        return x + y if self.shortcut and self.c1 == self.c2 else y
+
+
+class RepCSP(nn.Module):
+    """C3 with RepBottlenecks (reference: block.py:1506)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = RepBottleneck(c_, c_, self.shortcut, self.g, e=1.0, dtype=self.dtype, name=f"m_{i}")(a, train)
+        return Conv(2 * c_, self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate((a, b), -1), train)
+
+
+class RepNCSPELAN4(nn.Module):
+    """v9 CSP-ELAN (reference: block.py:1517)."""
+
+    c1: int
+    c2: int
+    c3: int
+    c4: int
+    n: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.c1, self.c3, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        b = RepCSP(self.c3 // 2, self.c4, self.n, dtype=self.dtype, name="cv2_0")(ys[-1], train)
+        b = Conv(self.c4, self.c4, 3, 1, dtype=self.dtype, name="cv2_1")(b, train)
+        ys.append(b)
+        c = RepCSP(self.c4, self.c4, self.n, dtype=self.dtype, name="cv3_0")(ys[-1], train)
+        c = Conv(self.c4, self.c4, 3, 1, dtype=self.dtype, name="cv3_1")(c, train)
+        ys.append(c)
+        return Conv(self.c3 + 2 * self.c4, self.c2, 1, 1, dtype=self.dtype, name="cv4")(
+            jnp.concatenate(ys, -1), train
+        )
+
+
+class ELAN1(nn.Module):
+    """v9 ELAN with plain convs (reference: block.py:1542)."""
+
+    c1: int
+    c2: int
+    c3: int
+    c4: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.c1, self.c3, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        ys.append(Conv(self.c3 // 2, self.c4, 3, 1, dtype=self.dtype, name="cv2")(ys[-1], train))
+        ys.append(Conv(self.c4, self.c4, 3, 1, dtype=self.dtype, name="cv3")(ys[-1], train))
+        return Conv(self.c3 + 2 * self.c4, self.c2, 1, 1, dtype=self.dtype, name="cv4")(
+            jnp.concatenate(ys, -1), train
+        )
+
+
+class AConv(nn.Module):
+    """v9 avg-pool + strided conv downsample (reference: block.py:1555)."""
+
+    c1: int
+    c2: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .conv import avg_pool2d
+
+        x = avg_pool2d(x, 2, 1, 0)
+        return Conv(self.c1, self.c2, 3, 2, p=1, dtype=self.dtype, name="cv1")(x, train)
+
+
+class ADown(nn.Module):
+    """v9 dual-branch downsample (reference: block.py:1569)."""
+
+    c1: int
+    c2: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .conv import avg_pool2d
+
+        c = self.c2 // 2
+        x = avg_pool2d(x, 2, 1, 0)
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        x1 = Conv(self.c1 // 2, c, 3, 2, p=1, dtype=self.dtype, name="cv1")(x1, train)
+        x2 = max_pool2d(x2, 3, 2, 1)
+        x2 = Conv(self.c1 // 2, c, 1, 1, p=0, dtype=self.dtype, name="cv2")(x2, train)
+        return jnp.concatenate((x1, x2), axis=-1)
+
+
+class SPPELAN(nn.Module):
+    """v9 SPP-ELAN (reference: block.py:1589)."""
+
+    c1: int
+    c2: int
+    c3: int
+    k: int = 5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = [Conv(self.c1, self.c3, 1, 1, dtype=self.dtype, name="cv1")(x, train)]
+        for _ in range(3):
+            y.append(max_pool2d(y[-1], self.k, 1, self.k // 2))
+        return Conv(4 * self.c3, self.c2, 1, 1, dtype=self.dtype, name="cv5")(jnp.concatenate(y, -1), train)
+
+
+class CBLinear(nn.Module):
+    """v9 multi-branch linear projection -> channel splits (reference: block.py:1609)."""
+
+    c1: int
+    c2s: Tuple[int, ...] = ()
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = conv2d(x, sum(self.c2s), self.k, self.s, None, self.g, bias=True, dtype=self.dtype, name="conv")
+        sizes = list(np.cumsum(self.c2s))[:-1]
+        return tuple(jnp.split(y, sizes, axis=-1))
+
+
+class CBFuse(nn.Module):
+    """v9 cross-branch fusion: resize selected splits + sum (reference: block.py:1623)."""
+
+    idx: Tuple[int, ...] = ()
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        target = xs[-1].shape[1:3]
+        outs = []
+        for i, x in enumerate(xs[:-1]):
+            t = x[self.idx[i]]
+            b, h, w, c = t.shape
+            if (h, w) != tuple(target):
+                t = jax.image.resize(t, (b, target[0], target[1], c), method="nearest")
+            outs.append(t)
+        return sum(outs) + xs[-1]
+
+
+class C3f(nn.Module):
+    """C3-flavored C2f (reference: block.py:1641)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        ys = [
+            Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv2")(x, train),
+            Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv1")(x, train),
+        ]
+        for i in range(self.n):
+            ys.append(Bottleneck(c_, c_, self.shortcut, self.g, k=((3, 3), (3, 3)), e=1.0,
+                                 dtype=self.dtype, name=f"m_{i}")(ys[-1], train))
+        return Conv((2 + self.n) * c_, self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate(ys, -1), train)

@@ -75,6 +75,15 @@ MODULE_REGISTRY: Dict[str, Any] = {
     "RepVGGDW": M.RepVGGDW,
     "HGStem": M.HGStem,
     "HGBlock": M.HGBlock,
+    "RepNCSPELAN4": M.RepNCSPELAN4,
+    "ELAN1": M.ELAN1,
+    "AConv": M.AConv,
+    "ADown": M.ADown,
+    "SPPELAN": M.SPPELAN,
+    "CBLinear": M.CBLinear,
+    "CBFuse": M.CBFuse,
+    "C3f": M.C3f,
+    "RepCSP": M.RepCSP,
     "Proto": M.Proto,
     # torch-namespace passthroughs
     "nn.Upsample": M.Upsample,
@@ -136,6 +145,7 @@ BASE_MODULES = {
     M.C3k2, M.C3, M.C3k, M.RepC3, M.PSA, M.CBAM, M.SCDown, M.C2fCIB, M.Classify, M.LightConv,
     M.RepConv,
     # fork modules registered as base modules (reference nn/tasks.py:988-1051)
+    M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN, M.C3f,
     M.RecycleConv, M.GhostConvHCA, M.LDConv, M.Cross_AKConv, M.Mix_SPPF, M.SELayer, M.SaELayer,
     M.SAPF, M.DDWConv, M.ConvOMN, M.MaxConv, M.GhostMaxConv, M.ConvHCA, M.GhostConvMax,
     M.FilterMaxConv, M.MaxConvHCA, M.C3k2GC, M.C3MSCk2, M.XCBAM2C2f, M.CoordAtt, M.HCoordAtt,
@@ -259,6 +269,12 @@ def parse_model(d: dict, ch: int, verbose: bool = True) -> Tuple[List[LayerSpec]
         elif cls is M.SelectChannel:
             c2 = ch_list[f[0]]
             args = [ch_list[f[0]]]
+        elif cls is M.CBLinear:
+            c2 = args[0]
+            args = [ch_list[f], _listify(args[0]), *args[1:]]
+        elif cls is M.CBFuse:
+            c2 = ch_list[f[-1]]
+            args = [_listify(args[0])] if args else [()]
         elif cls is M.Index:
             c2 = args[0]
             args = args[1:]

@@ -243,6 +243,46 @@ class SimpleClass:
         raise AttributeError(f"'{name}' object has no attribute '{attr}'. See valid attributes below.\n{self.__doc__}")
 
 
+class SettingsManager(dict):
+    """Persistent user settings (reference: utils/__init__.py:1174) stored at
+    ~/.config/spectrogram_yolov11_tpu/settings.json."""
+
+    def __init__(self, file: "Path | None" = None):
+        import json
+
+        self.file = Path(file or Path.home() / ".config" / "spectrogram_yolov11_tpu" / "settings.json")
+        self.defaults = {
+            "settings_version": "1.0",
+            "datasets_dir": str(REPO_ROOT / "datasets"),
+            "weights_dir": str(REPO_ROOT / "weights"),
+            "runs_dir": str(RUNS_DIR),
+            "sync": False,  # no telemetry in this build (the reference ships Sentry; we don't)
+        }
+        super().__init__(self.defaults)
+        try:
+            if self.file.exists():
+                self.update(json.loads(self.file.read_text()))
+        except (OSError, ValueError):
+            pass
+
+    def save(self):
+        import json
+
+        try:
+            self.file.parent.mkdir(parents=True, exist_ok=True)
+            self.file.write_text(json.dumps(dict(self)))
+        except OSError as e:
+            LOGGER.warning(f"settings not saved: {e}")
+
+    def update(self, *args, **kwargs):
+        super().update(*args, **kwargs)
+
+    def reset(self):
+        self.clear()
+        super().update(self.defaults)
+        self.save()
+
+
 DEFAULT_CFG_DICT: dict[str, Any] = {}
 
 

@@ -74,3 +74,22 @@ def test_forward_parity_decoded(ref_model, jx):
     dec = decode_detections(feats, nc=80, strides=m.stride)  # (1, A, 4+nc)
     dec_t = np.asarray(dec).transpose(0, 2, 1)
     np.testing.assert_allclose(dec_t, y_ref, atol=2e-3, rtol=2e-3)
+
+
+def test_yolov8_legacy_head_parity():
+    """C2f backbone + legacy Detect branch vs the torch reference."""
+    from oracle import torch_detection_model
+    from spectrogram_yolov11_tpu.nn.tasks import build_model
+
+    tm = torch_detection_model("yolov8n.yaml", nc=80, seed=7)
+    jm = build_model("yolov8n.yaml", verbose=False)
+    v = jm.init(jax.random.PRNGKey(0))
+    state = {k: p.detach().numpy() for k, p in tm.state_dict().items()}
+    conv = torch_state_to_variables(state)
+    v = load_state_into_variables(v, conv, strict=True)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 3, 64, 64), dtype=np.float32) * 0.4
+    ref = _torch_raw(tm, x)
+    ours = jax.jit(lambda v, x: jm.apply(v, x))(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    for r, o in zip(ref, ours):
+        np.testing.assert_allclose(np.asarray(o).transpose(0, 3, 1, 2), r, atol=2e-4, rtol=2e-3)

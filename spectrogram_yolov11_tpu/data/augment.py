@@ -16,7 +16,7 @@ xyxy pixels} — converted to normalized xywh only at batch-format time.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import cv2
 import numpy as np

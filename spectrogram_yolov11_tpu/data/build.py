@@ -14,11 +14,9 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
-
-from spectrogram_yolov11_tpu.utils import LOGGER
 
 
 def collate(samples: list) -> Dict[str, np.ndarray]:

@@ -15,7 +15,6 @@ The runtime image has zero egress, so the reference's auto-download datasets
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Tuple
 
 import cv2
 import numpy as np

@@ -10,7 +10,6 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from spectrogram_yolov11_tpu.cfg import get_cfg, get_save_dir
 from spectrogram_yolov11_tpu.data.build import DataLoader

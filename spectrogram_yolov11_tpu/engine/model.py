@@ -13,11 +13,9 @@ from pathlib import Path
 from typing import Any, Dict, List, Optional, Union
 
 import jax
-import numpy as np
 
-from spectrogram_yolov11_tpu.cfg import get_cfg
 from spectrogram_yolov11_tpu.nn.tasks import build_model, guess_model_task, yaml_model_load
-from spectrogram_yolov11_tpu.utils import DEFAULT_CFG, LOGGER
+from spectrogram_yolov11_tpu.utils import LOGGER
 
 
 class YOLO:

@@ -26,7 +26,6 @@ from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 class OptConfig(NamedTuple):

@@ -14,21 +14,19 @@ static shape is the TPU-correct choice.
 
 from __future__ import annotations
 
-import functools
 import time
 from pathlib import Path
-from typing import Dict, Iterator, List, Optional
+from typing import Iterator, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from spectrogram_yolov11_tpu.cfg import get_cfg, get_save_dir
-from spectrogram_yolov11_tpu.data.augment import letterbox
 from spectrogram_yolov11_tpu.data.loaders import load_inference_source
 from spectrogram_yolov11_tpu.engine.results import Results
 from spectrogram_yolov11_tpu.ops.boxes import scale_boxes
-from spectrogram_yolov11_tpu.ops.decode import decode_detections, decode_kpts, decode_obb, flatten_feats
+from spectrogram_yolov11_tpu.ops.decode import decode_detections, decode_kpts, decode_obb
 from spectrogram_yolov11_tpu.ops.nms import non_max_suppression, non_max_suppression_extras, nms_rotated
 from spectrogram_yolov11_tpu.utils import LOGGER, DEFAULT_CFG
 

@@ -22,11 +22,9 @@ multi_scale uses a small static set of sizes (recompile per size) when on.
 
 from __future__ import annotations
 
-import json
-import math
 import time
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +34,6 @@ from spectrogram_yolov11_tpu.cfg import get_cfg, get_save_dir
 from spectrogram_yolov11_tpu.data import DataLoader, YOLODataset, check_det_dataset
 from spectrogram_yolov11_tpu.engine.checkpoint import load_checkpoint, save_checkpoint, strip_optimizer
 from spectrogram_yolov11_tpu.engine.optim import (
-    OptState,
     apply_updates,
     choose_optimizer,
     ema_decay,

@@ -6,8 +6,6 @@ train -> fitness logged to CSV -> repeat, mutating around the best row."""
 from __future__ import annotations
 
 import csv
-import random
-from pathlib import Path
 from typing import Dict, Optional
 
 import numpy as np

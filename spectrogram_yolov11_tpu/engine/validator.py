@@ -14,7 +14,7 @@ task; stat accumulation is host numpy.
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

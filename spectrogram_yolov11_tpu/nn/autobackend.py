@@ -16,13 +16,9 @@ forward(imgs_u8 NHWC) -> decoded predictions (B, A, 4+nc) or task tuple.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from spectrogram_yolov11_tpu.utils import LOGGER
 
 
 def _model_type(path: str) -> str:

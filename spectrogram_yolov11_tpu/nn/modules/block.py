@@ -26,7 +26,6 @@ from .conv import (
     conv2d,
     conv_transpose2d,
     batch_norm,
-    get_act,
     max_pool2d,
 )
 

@@ -17,23 +17,14 @@ regularizers off at inference; training determinism preferred here).
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .conv import (
-    Conv,
-    DWConv,
-    autopad,
-    avg_pool2d,
-    batch_norm,
-    conv2d,
-    get_act,
-    max_pool2d,
-)
+from .conv import Conv, autopad, avg_pool2d, batch_norm, conv2d, max_pool2d
 from .block import Bottleneck, C3, _c2f_forward
 
 Dtype = Any

@@ -13,7 +13,7 @@ decode+NMS into one device program instead of splitting at a host boundary.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Tuple, Union
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import ast
 import contextlib
-import math
 import re
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple, Union
@@ -31,7 +30,7 @@ from flax.core import FrozenDict
 
 from spectrogram_yolov11_tpu.cfg import find_model_yaml
 from spectrogram_yolov11_tpu.nn import modules as M
-from spectrogram_yolov11_tpu.utils import LOGGER, colorstr, make_divisible, yaml_load
+from spectrogram_yolov11_tpu.utils import LOGGER, make_divisible, yaml_load
 
 # ---------------------------------------------------------------------------
 # Module registry (yaml name -> linen class)

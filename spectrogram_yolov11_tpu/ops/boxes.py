@@ -9,7 +9,7 @@ Functions accept jnp or numpy arrays and stay in that namespace where possible.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

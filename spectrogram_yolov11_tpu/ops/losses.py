@@ -18,7 +18,7 @@ reference pads inside the loss (loss.py:195); we keep shapes static end to end.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,6 @@ import numpy as np
 from .decode import bbox2dist, dist2bbox, dist2rbox, flatten_feats, make_anchors
 from .iou import bbox_iou, probiou
 from .tal import task_aligned_assign
-from spectrogram_yolov11_tpu.nn.modules.block import dfl_decode
 
 
 class Batch(NamedTuple):

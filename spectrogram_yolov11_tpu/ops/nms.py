@@ -20,7 +20,7 @@ class offset cls*7680 px unless agnostic; IoU > iou_thres suppresses; output
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -276,6 +276,57 @@ def random_flip(sample: Dict, fliplr: float = 0.5, flipud: float = 0.0, rng=None
     return out
 
 
+def copy_paste(sample: Dict, p: float = 0.5, rng=None) -> Dict:
+    """Segment copy-paste, 'flip' mode (reference: augment.py:1634): mirror the
+    image left-right; instances whose mirrored box overlaps existing boxes by
+    IoA < 0.30 are pasted (pixels + labels). Needs polygon segments."""
+    segments = sample.get("segments")
+    if not segments or p <= 0:
+        return sample
+    rng = rng or np.random.default_rng()
+    img = sample["img"]
+    h, w = img.shape[:2]
+    boxes = sample["bboxes"]
+    n = len(boxes)
+    flipped_boxes = boxes.copy()
+    flipped_boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+    # IoA of each flipped box vs all existing boxes
+    x1 = np.maximum(flipped_boxes[:, None, 0], boxes[None, :, 0])
+    y1 = np.maximum(flipped_boxes[:, None, 1], boxes[None, :, 1])
+    x2 = np.minimum(flipped_boxes[:, None, 2], boxes[None, :, 2])
+    y2 = np.minimum(flipped_boxes[:, None, 3], boxes[None, :, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    area = np.clip(boxes[:, 2] - boxes[:, 0], 1e-9, None) * np.clip(boxes[:, 3] - boxes[:, 1], 1e-9, None)
+    ioa = inter / area[None]
+    candidates = np.nonzero((ioa < 0.30).all(1))[0]
+    k = round(p * len(candidates))
+    if k == 0:
+        return sample
+    chosen = rng.choice(candidates, k, replace=False)
+    im_flipped = img[:, ::-1]
+    mask = np.zeros((h, w), np.uint8)
+    new_cls, new_boxes, new_segs = [], [], []
+    for j in chosen:
+        seg_f = segments[j].copy()
+        seg_f[:, 0] = w - seg_f[:, 0]
+        cv2.fillPoly(mask, [seg_f.astype(np.int32)], 1)
+        new_cls.append(sample["cls"][j])
+        new_boxes.append(flipped_boxes[j])
+        new_segs.append(seg_f)
+    img = img.copy()
+    img[mask.astype(bool)] = im_flipped[mask.astype(bool)]
+    out = dict(sample)
+    out["img"] = img
+    out["cls"] = np.concatenate([sample["cls"], np.asarray(new_cls, sample["cls"].dtype)])
+    out["bboxes"] = np.concatenate([boxes, np.stack(new_boxes)])
+    out["segments"] = list(segments) + new_segs
+    if "keypoints" in sample and len(sample["keypoints"]):
+        kf = sample["keypoints"][chosen].copy()
+        kf[..., 0] = w - kf[..., 0]
+        out["keypoints"] = np.concatenate([sample["keypoints"], kf])
+    return out
+
+
 def mixup(sample1: Dict, sample2: Dict, rng=None) -> Dict:
     """Image mixup with beta(32, 32) ratio (reference: augment.py:867)."""
     rng = rng or np.random.default_rng()
@@ -428,6 +479,8 @@ class TrainTransform:
             img, _, (dw, dh) = letterbox(sample["img"], (self.imgsz, self.imgsz), scaleup=True)
             sample = dict(_pad_labels(sample, dw, dh), img=img)
             border = (0, 0)
+        if h.copy_paste and "segments" in sample:
+            sample = copy_paste(sample, p=h.copy_paste, rng=rng)
         sample = random_perspective(
             sample,
             degrees=h.degrees,

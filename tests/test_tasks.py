@@ -95,3 +95,24 @@ def test_task_dataset_formats(tmp_path):
                            max_gt=32, task=task, kpt_shape=data.get("kpt_shape", (17, 3)))
         item_t = ds_t.get_item(0, np.random.default_rng(1))
         assert item_t["img"].shape == (160, 160, 3)
+
+
+def test_copy_paste_augmentation():
+    from spectrogram_yolov11_tpu.data.augment import copy_paste
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (200, 200, 3), dtype=np.uint8)
+    # one instance on the left half -> its mirror lands free of overlaps
+    seg = np.array([[20, 50], [60, 50], [60, 110], [20, 110]], np.float32)
+    sample = {
+        "img": img,
+        "cls": np.array([1], np.int32),
+        "bboxes": np.array([[20, 50, 60, 110]], np.float32),
+        "segments": [seg],
+    }
+    out = copy_paste(sample, p=1.0, rng=rng)
+    assert len(out["cls"]) == 2
+    assert len(out["segments"]) == 2
+    np.testing.assert_allclose(out["bboxes"][1], [140, 50, 180, 110])
+    # pasted pixels come from the mirrored image
+    assert not np.array_equal(out["img"], img)

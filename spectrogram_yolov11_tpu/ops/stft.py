@@ -34,27 +34,59 @@ def frame_signal(iq: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     return iq[:, idx]
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "out_hw", "colormap", "eps"))
+def _dft_matrices(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Real/imag DFT matrices W[j, k] = exp(-2*pi*i*j*k/N)."""
+    jk = np.outer(np.arange(n_fft), np.arange(n_fft)).astype(np.float64)
+    ang = -2.0 * np.pi * jk / n_fft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
 def iq_to_spectrogram(
-    iq: jnp.ndarray,  # (B, N) complex64 or (B, N, 2) float
+    iq,  # (B, N) complex64 or (B, N, 2) float
     n_fft: int = 512,
     hop: int = 256,
     out_hw: Optional[Tuple[int, int]] = (640, 640),
     colormap: bool = False,
     eps: float = 1e-10,
 ) -> jnp.ndarray:
-    """Raw IQ -> (B, H, W, 3) float32 image in [0, 1].
+    """Raw IQ -> (B, H, W, 3) float32 image in [0, 1]. Complex input is split
+    to (B, N, 2) float32 ON HOST — complex dtypes never reach the device
+    (this TPU backend supports neither complex transfer nor complex FFT)."""
+    if getattr(iq, "ndim", 0) == 2 and np.iscomplexobj(iq):
+        iq = np.stack([np.real(iq), np.imag(iq)], axis=-1).astype(np.float32)
+    return _iq_to_spectrogram_jit(jnp.asarray(iq), n_fft, hop, out_hw, colormap, eps)
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "out_hw", "colormap", "eps"))
+def _iq_to_spectrogram_jit(
+    iq: jnp.ndarray,  # (B, N, 2) float
+    n_fft: int = 512,
+    hop: int = 256,
+    out_hw: Optional[Tuple[int, int]] = (640, 640),
+    colormap: bool = False,
+    eps: float = 1e-10,
+) -> jnp.ndarray:
+    """Device half of the IQ front-end.
 
     Axis convention (matches typical waterfall rendering and our synthetic
     dataset): rows = frequency (fftshifted, low->high), cols = time frames.
+
+    The DFT runs as two real (T, N) @ (N, N) matmuls on the MXU instead of a
+    complex FFT: at spectrogram sizes (N <= 1024) the systolic array is the
+    right unit, the pipeline stays free of complex dtypes, and the IQ can
+    ship as (B, N, 2) float32 — or int16 from an SDR — instead of complex64.
     """
-    if iq.ndim == 3:
-        iq = jax.lax.complex(iq[..., 0], iq[..., 1])
-    frames = frame_signal(iq, n_fft, hop)  # (B, T, F)
+    re_sig, im_sig = iq[..., 0].astype(jnp.float32), iq[..., 1].astype(jnp.float32)
+    fr = frame_signal(re_sig, n_fft, hop)  # (B, T, N)
+    fi = frame_signal(im_sig, n_fft, hop)
     win = jnp.hanning(n_fft).astype(jnp.float32)
-    spec = jnp.fft.fft(frames * win, axis=-1)
-    power = jnp.log10(jnp.abs(spec) ** 2 + eps)  # (B, T, F)
-    power = jnp.fft.fftshift(power, axes=-1)
+    fr = fr * win
+    fi = fi * win
+    w_re, w_im = (jnp.asarray(m) for m in _dft_matrices(n_fft))
+    spec_re = fr @ w_re - fi @ w_im
+    spec_im = fr @ w_im + fi @ w_re
+    power = jnp.log10(spec_re**2 + spec_im**2 + eps)  # (B, T, F)
+    power = jnp.roll(power, n_fft // 2, axis=-1)  # fftshift
     img = power.transpose(0, 2, 1)  # (B, F, T): freq rows, time cols
     lo = img.min(axis=(1, 2), keepdims=True)
     hi = img.max(axis=(1, 2), keepdims=True)

@@ -1,15 +1,20 @@
-"""Pallas TPU kernel for the NMS suppression stage.
+"""Pallas TPU kernel for the NMS suppression stage (exact sequential greedy).
 
-The XLA formulation in ops/nms.py materializes the (k, k) IoU matrix in HBM
-and re-reads it every Jacobi sweep. This kernel keeps the whole candidate set
-VMEM-resident (k <= 1024: boxes 16 KB, IoU matrix 4 MB — comfortably inside
-the ~16 MB VMEM budget) and runs the exact sequential greedy scan in one
-fused kernel: one HBM read of the boxes, one HBM write of the keep mask, no
-intermediate traffic.
+This kernel keeps the whole candidate set VMEM-resident (k <= 1024: boxes
+16 KB, IoU matrix 4 MB — comfortably inside the ~16 MB VMEM budget) and runs
+the exact sequential greedy scan in one fused kernel: one HBM read of the
+boxes, one HBM write of the keep mask, no intermediate traffic. Grid: one
+program per batch element.
 
-Grid: one program per batch element. The sequential scan over ranked
-candidates runs as a fori_loop of (k,)-wide VPU ops on VMEM — the classic
-"small sequential core over resident data" pattern from the Pallas guide.
+MEASURED RESULT (TPU v5e, bs=8, k=512, full pipeline incl. top_k):
+    XLA Jacobi formulation (ops/nms.py):  0.92 ms
+    this Pallas sequential kernel:       31.3 ms
+Both produce identical keep-sets. The k-iteration scf.for of (k,)-wide VPU
+ops is loop-latency-bound, while the XLA Jacobi fixpoint converges in a few
+(k, k)-wide sweeps the compiler schedules well — so ops/nms.py remains the
+production path and this kernel is kept as the exact-sequential reference
+(and as the Pallas on-ramp for a future sweep-style kernel). This is the
+"don't hand-schedule what the compiler already does" lesson, measured.
 """
 
 from __future__ import annotations
@@ -23,12 +28,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _nms_kernel(boxes_ref, valid_ref, thres_ref, keep_ref, iou_scratch):
-    """boxes (k, 4) score-desc sorted (class-offset applied), valid (k, 1)
-    int32, thres (1, 1) SMEM -> keep (k, 1) int32."""
-    k = boxes_ref.shape[0]
-    boxes = boxes_ref[:]  # (k, 4) VMEM
-    x1, y1 = boxes[:, 0], boxes[:, 1]
-    x2, y2 = boxes[:, 2], boxes[:, 3]
+    """boxes (4, k) score-desc sorted (class-offset applied), valid (1, k)
+    int32, thres (1, 1) SMEM -> keep (1, k) int32.
+
+    Pallas-TPU constraints shape the formulation: the candidate axis k lives
+    in the 128-lane dimension (Mosaic tiling), no dynamic indexing on VALUES
+    (only on refs via pl.ds), and per-candidate scalars come from masked
+    reductions over (k,)-wide VPU ops. Sequential greedy invariant:
+    suppression only flows rank-forward, so the final keep set is simply
+    valid & ~dead."""
+    k = boxes_ref.shape[1]
+    boxes = boxes_ref[:]  # (4, k) VMEM
+    x1, y1 = boxes[0], boxes[1]
+    x2, y2 = boxes[2], boxes[3]
     area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)  # (k,)
 
     # pairwise IoU, computed once into VMEM scratch (k, k)
@@ -40,22 +52,18 @@ def _nms_kernel(boxes_ref, valid_ref, thres_ref, keep_ref, iou_scratch):
     iou_scratch[:] = inter / (area[:, None] + area[None, :] - inter + 1e-7)
 
     thres = thres_ref[0, 0]
-    valid = valid_ref[:, 0] > 0  # (k,)
+    valid = valid_ref[0, :]  # (k,) int32 0/1
+    col = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
 
-    def body(i, state):
-        keep, dead = state
-        alive_i = jnp.logical_and(valid[i], jnp.logical_not(dead[i]))
-        keep = keep.at[i].set(alive_i)
-        row = iou_scratch[i, :] > thres  # (k,)
-        col = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
-        suppress = jnp.logical_and(jnp.logical_and(alive_i, row), col > i)
-        dead = jnp.logical_or(dead, suppress)
-        return keep, dead
+    def body(i, dead):  # dead: (k,) int32 0/1 (i1 vectors don't legalize in scf.for carries)
+        sel = (col == i).astype(jnp.int32)
+        alive_i = jnp.max(sel * valid * (1 - dead))  # scalar 0/1
+        row = (iou_scratch[pl.ds(i, 1), :][0] > thres).astype(jnp.int32)  # dynamic REF read
+        suppress = alive_i * row * (col > i).astype(jnp.int32)
+        return jnp.maximum(dead, suppress)
 
-    keep0 = jnp.zeros((k,), bool)
-    dead0 = jnp.zeros((k,), bool)
-    keep, _ = jax.lax.fori_loop(0, k, body, (keep0, dead0))
-    keep_ref[:, 0] = keep.astype(jnp.int32)
+    dead = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), jnp.int32))
+    keep_ref[0, :] = valid * (1 - dead)
 
 
 @functools.partial(jax.jit, static_argnames=("iou_thres", "interpret"))
@@ -68,27 +76,28 @@ def pallas_greedy_keep(
     """Exact greedy NMS keep mask (b, k) — VMEM-fused Pallas kernel."""
     b, k, _ = boxes.shape
     thres = jnp.full((1, 1), iou_thres, jnp.float32)
+    boxes_t = boxes.astype(jnp.float32).transpose(0, 2, 1)  # (b, 4, k): k in the lane dim
 
     def kernel(boxes_ref, valid_ref, thres_ref, keep_ref, iou_scratch):
         _nms_kernel(boxes_ref.at[0], valid_ref.at[0], thres_ref, keep_ref.at[0], iou_scratch)
 
     keep = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, k, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, k), jnp.int32),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, k, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((k, k), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=b * (7 * k * k + 4 * k * k), bytes_accessed=b * (k * 4 * 4 + k * 4), transcendentals=0
         ),
-    )(boxes.astype(jnp.float32), valid.astype(jnp.int32)[..., None], thres)
-    return keep[..., 0] > 0
+    )(boxes_t, valid.astype(jnp.int32)[:, None, :], thres)
+    return keep[:, 0, :] > 0
 
 
 def non_max_suppression_pallas(

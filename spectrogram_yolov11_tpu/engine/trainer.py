@@ -15,8 +15,8 @@ models/yolo/detect/train.py:19) redesigned TPU-first:
   (trainer.py:364), early stopping (torch_utils.py:713), close_mosaic
   (trainer.py:337), checkpoint schema (trainer.py:512) all reproduced.
 
-Known deviations (documented): no AutoBatch yet (batch=-1 falls back to 16);
-the warmup-ramped accumulate count is fixed at round(nbs/batch) from step 0;
+Known deviations (documented): the warmup-ramped accumulate count is fixed at
+round(nbs/batch) from step 0 (a ramp would change the jitted graph shape);
 multi_scale uses a small static set of sizes (recompile per size) when on.
 """
 
@@ -205,8 +205,19 @@ class BaseTrainer:
         self.setup_model()
         if self.args.resume:
             self._resume()
+        if self.args.batch in (-1, None):
+            # AutoBatch: XLA memory_analysis-driven batch-size search
+            # (reference autobatch.py:38 targets 60% of device memory)
+            from spectrogram_yolov11_tpu.utils.autobatch import check_train_batch_size
+
+            self.batch_size = check_train_batch_size(self.model, imgsz=self.imgsz, nc=self.data["nc"])
+            LOGGER.info(f"{colorstr('AutoBatch:')} using batch={self.batch_size}")
         (self.wdir).mkdir(parents=True, exist_ok=True)
         train_ds = self.build_dataset("train", augment=True)
+        if self.args.close_mosaic and self.start_epoch > max(self.epochs - self.args.close_mosaic, 0):
+            # resumed past the close_mosaic boundary (reference trainer.py:750-756)
+            LOGGER.info("Closing dataloader mosaic (resumed past close_mosaic boundary)")
+            train_ds.close_mosaic()
         loader = DataLoader(
             train_ds, self.batch_size, shuffle=True, seed=self.args.seed,
             workers=self.args.workers, drop_last=True,
@@ -224,18 +235,26 @@ class BaseTrainer:
         groups = param_groups(self.variables["params"])
 
         mesh = get_mesh(batch_size=self.batch_size)
+        resumed = getattr(self, "_resumed", None) or {}
+        opt0 = init_opt_state(self.variables["params"])
+        if resumed.get("opt_state") is not None:
+            r = resumed["opt_state"]  # saved as the OptState NamedTuple's dict
+            opt0 = type(opt0)(**{k: jax.tree_util.tree_map(jnp.asarray, r[k]) for k in opt0._fields})
+        ema0 = resumed.get("ema")
+        if ema0 is None:
+            # NB: explicit copy — astype(f32) on f32 aliases the buffer, and
+            # aliased leaves break donate_argnums ("donate the same buffer twice")
+            ema0 = {
+                "params": jax.tree_util.tree_map(lambda x: jnp.array(x, jnp.float32, copy=True), self.variables["params"]),
+                "batch_stats": jax.tree_util.tree_map(lambda x: jnp.array(x, jnp.float32, copy=True), self.variables["batch_stats"]),
+            }
         state = {
             "params": self.variables["params"],
             "batch_stats": self.variables["batch_stats"],
-            "opt": init_opt_state(self.variables["params"]),
+            "opt": opt0,
             "grad_buf": jax.tree_util.tree_map(jnp.zeros_like, self.variables["params"]),
-            # NB: explicit copy — astype(f32) on f32 aliases the buffer, and
-            # aliased leaves break donate_argnums ("donate the same buffer twice")
-            "ema": {
-                "params": jax.tree_util.tree_map(lambda x: jnp.array(x, jnp.float32, copy=True), self.variables["params"]),
-                "batch_stats": jax.tree_util.tree_map(lambda x: jnp.array(x, jnp.float32, copy=True), self.variables["batch_stats"]),
-            },
-            "ema_updates": jnp.zeros((), jnp.int32),
+            "ema": ema0,
+            "ema_updates": jnp.asarray(resumed.get("updates", 0), jnp.int32),
         }
         state = replicate_state(state, mesh)
         step_fn = self._make_train_step(opt_cfg, groups, accumulate, wd_scaled)
@@ -351,7 +370,16 @@ class BaseTrainer:
         self.variables = tree["variables"]
         self.start_epoch = int(meta.get("epoch", -1)) + 1
         self.best_fitness = float(meta.get("best_fitness", 0.0))
-        LOGGER.info(f"Resuming from {path} at epoch {self.start_epoch}")
+        # Full training-state continuity (reference trainer.py:723-748
+        # resume_training restores optimizer + EMA + updates): stash the
+        # optimizer moments, EMA tree, and EMA update counter so `train()`
+        # seeds the jitted state with them instead of zeros.
+        self._resumed = {
+            "opt_state": tree.get("opt_state"),
+            "ema": tree.get("ema"),
+            "updates": int(meta.get("updates", 0)),
+        }
+        LOGGER.info(f"Resuming from {path} at epoch {self.start_epoch} (optimizer+EMA state restored)")
 
     def _write_csv(self, epoch: int, mloss, metrics: Dict[str, float]):
         import csv

@@ -28,6 +28,7 @@ from spectrogram_yolov11_tpu.ops.metrics import (
     ClassifyMetrics,
     ConfusionMatrix,
     DetMetrics,
+    OKS_SIGMA,
     OBBMetrics,
     PoseMetrics,
     SegmentMetrics,
@@ -286,7 +287,8 @@ class PoseValidator(DetectionValidator):
         gk[..., 1] = (gk[..., 1] * self.imgsz - dh) / ratio
         _, gxyxy = _gt_native(batch, i, self.imgsz)
         area = (gxyxy[:, 2] - gxyxy[:, 0]) * (gxyxy[:, 3] - gxyxy[:, 1]) * 0.53
-        sigma = np.full(nk, 1.0 / nk)
+        # COCO OKS protocol for standard 17-kpt pose (reference pose/val.py:70)
+        sigma = OKS_SIGMA if tuple(self.kpt_shape) == (17, 3) else np.full(nk, 1.0 / nk)
         iou_p = np.asarray(kpt_iou(jnp.asarray(gk), jnp.asarray(pk), jnp.asarray(area), sigma))
         tp_p = match_predictions(out_np[i, :n, 5].astype(int), gt_cls, iou_p, self.iouv)
         self.stats.setdefault(key, []).append(tp_p)

@@ -51,10 +51,11 @@ def xyxy2xywhn(x, w: int, h: int, clip: bool = False, eps: float = 0.0):
 
 
 def clip_boxes(boxes, shape: Tuple[int, int]):
-    """Clip xyxy boxes to image shape (h, w)."""
+    """Clip xyxy boxes to image shape (h, w), preserving trailing columns
+    (conf/cls etc.) like the reference clip_boxes (ops.py:335)."""
     ns = _ns(boxes)
     h, w = shape[:2]
-    return ns.stack(
+    clipped = ns.stack(
         [
             ns.clip(boxes[..., 0], 0, w),
             ns.clip(boxes[..., 1], 0, h),
@@ -63,6 +64,9 @@ def clip_boxes(boxes, shape: Tuple[int, int]):
         ],
         axis=-1,
     )
+    if boxes.shape[-1] > 4:
+        clipped = ns.concatenate([clipped, boxes[..., 4:]], axis=-1)
+    return clipped
 
 
 def scale_boxes(img1_shape, boxes, img0_shape, ratio_pad=None, padding: bool = True, xywh: bool = False):

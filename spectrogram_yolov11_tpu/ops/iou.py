@@ -35,7 +35,8 @@ def bbox_iou(
 ) -> jnp.ndarray:
     """Elementwise (aligned, broadcastable) IoU of box pairs, last dim = 4.
 
-    Matches reference bbox_iou including the xyxy-mode `+ eps` on w/h.
+    Matches reference bbox_iou exactly, including the xyxy-mode `+ eps` on
+    heights only (metrics.py:202-203).
     Returns shape broadcast(box1[..., 0], box2[..., 0]).
     """
     if xywh:
@@ -53,12 +54,8 @@ def bbox_iou(
     inter = jnp.clip(jnp.minimum(b1x2, b2x2) - jnp.maximum(b1x1, b2x1), 0, None) * jnp.clip(
         jnp.minimum(b1y2, b2y2) - jnp.maximum(b1y1, b2y1), 0, None
     )
-    if xywh:
-        union = w1 * h1 + w2 * h2 - inter + eps
-    else:
-        union = (w1 + eps) * h1 + (w2 + eps) * h2 - inter + eps  # matches torch +eps placement
-        w1 = w1 + eps  # for CIoU aspect term below (torch adds eps to both w,h in xyxy mode)
-        w2 = w2 + eps
+    # reference metrics.py bbox_iou adds eps only to the heights in xyxy mode
+    union = w1 * h1 + w2 * h2 - inter + eps
 
     iou = inter / union
     if not (GIoU or DIoU or CIoU):

@@ -26,6 +26,7 @@ import numpy as np
 
 from .decode import bbox2dist, dist2bbox, dist2rbox, flatten_feats, make_anchors
 from .iou import bbox_iou, probiou
+from .metrics import OKS_SIGMA
 from .tal import task_aligned_assign
 
 
@@ -252,6 +253,21 @@ def segmentation_loss(
     return items.sum() * b, items
 
 
+def keypoint_loss_terms(pred_xy, gt_xy, kpt_mask, area, sigmas):
+    """Per-entry OKS keypoint-location loss terms (reference KeypointLoss.forward,
+    loss.py:155-170: `e = d / ((2*sigmas)^2 * (area + 1e-9) * 2)`, cocoeval form).
+
+    Shapes: pred_xy/gt_xy (..., nk, 2), kpt_mask (..., nk), area (..., 1),
+    sigmas (nk,). Returns (..., nk) terms; the reference's scalar loss is
+    `terms.mean()` over flattened fg entries, which equals the masked
+    per-anchor mean reduction used by pose_loss.
+    """
+    d2 = ((pred_xy - gt_xy) ** 2).sum(-1)
+    e = d2 / (2 * sigmas) ** 2 / (area + 1e-9) / 2
+    kpt_loss_factor = kpt_mask.shape[-1] / (jnp.sum(kpt_mask != 0, axis=-1, keepdims=True) + 1e-9)
+    return (1 - jnp.exp(-e)) * kpt_mask * kpt_loss_factor
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("nc", "kpt_shape", "reg_max", "imgsz", "strides", "hyp_box", "hyp_cls", "hyp_dfl", "hyp_pose", "hyp_kobj"),
@@ -303,15 +319,10 @@ def pose_loss(
 
     tb = assign.target_bboxes / stride_t[None]  # grid units xyxy
     area = jnp.clip((tb[..., 2] - tb[..., 0]) * (tb[..., 3] - tb[..., 1]), 1e-9, None)[..., None]
-    d2 = ((xy - sel_gt_kpts) ** 2).sum(-1)
     sigmas = jnp.full((nk,), 1.0 / nk, jnp.float32)  # reference OKS_SIGMA when nk==17, else uniform
     if nk == 17:
-        sigmas = jnp.asarray(
-            [0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072, 0.062,
-             0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089], jnp.float32) * 2  # == OKS_SIGMA
-    e = d2 / (2 * sigmas[None, None]) ** 2 / (area + 1e-9) / 2
-    kpt_loss_factor = kpt_mask.shape[-1] / (jnp.sum(kpt_mask != 0, axis=-1, keepdims=True) + 1e-9)
-    loc = ((1 - jnp.exp(-e)) * kpt_mask * kpt_loss_factor)
+        sigmas = jnp.asarray(OKS_SIGMA, jnp.float32)
+    loc = keypoint_loss_terms(xy, sel_gt_kpts, kpt_mask, area, sigmas)
     fgw = assign.fg_mask.astype(jnp.float32)
     n_fg = jnp.maximum(fgw.sum(), 1.0)
     loss_kpt = (loc.mean(-1) * fgw).sum() / n_fg

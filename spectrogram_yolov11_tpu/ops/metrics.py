@@ -18,6 +18,13 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
+# COCO keypoint OKS sigmas (reference utils/metrics.py:14) — used by the pose
+# loss and the pose validator whenever kpt_shape == (17, 3).
+OKS_SIGMA = (
+    np.array([0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72, 0.62, 0.62, 1.07, 1.07, 0.87, 0.87, 0.89, 0.89])
+    / 10.0
+)
+
 
 def box_iou_np(box1: np.ndarray, box2: np.ndarray, eps: float = 1e-7) -> np.ndarray:
     """Pairwise IoU (N,4) x (M,4) xyxy -> (N,M), numpy."""

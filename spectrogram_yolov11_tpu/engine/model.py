@@ -105,6 +105,10 @@ class YOLO:
             from spectrogram_yolov11_tpu.engine.classify import ClassificationTrainer
 
             trainer_cls = ClassificationTrainer
+        elif self.task == "rtdetr":
+            from spectrogram_yolov11_tpu.models.rtdetr import RTDETRTrainer
+
+            trainer_cls = RTDETRTrainer
         else:
             trainer_cls = TASK2TRAINER[self.task]
         self._ensure_variables()
@@ -121,13 +125,16 @@ class YOLO:
         self._ensure_variables()
         overrides = {k: v for k, v in {**self.overrides, **kwargs}.items() if k not in {"model", "task", "mode"}}
         data = overrides.pop("data", None) or getattr(self, "ckpt_data", None)
-        cls = {
-            "detect": V.DetectionValidator,
-            "segment": V.SegmentationValidator,
-            "pose": V.PoseValidator,
-            "obb": V.OBBValidator,
-            "classify": V.ClassificationValidator,
-        }[self.task]
+        if self.task == "rtdetr":
+            from spectrogram_yolov11_tpu.models.rtdetr import RTDETRValidator as cls
+        else:
+            cls = {
+                "detect": V.DetectionValidator,
+                "segment": V.SegmentationValidator,
+                "pose": V.PoseValidator,
+                "obb": V.OBBValidator,
+                "classify": V.ClassificationValidator,
+            }[self.task]
         validator = cls(self.model, self.variables, overrides=overrides)
         self.validator = validator
         return validator(data=data)
@@ -137,8 +144,9 @@ class YOLO:
 
         self._ensure_variables()
         cls = {"classify": ClassificationPredictor, "segment": SegmentationPredictor, "pose": PosePredictor, "obb": OBBPredictor}.get(self.task, BasePredictor)
+        if self.task == "rtdetr":
+            from spectrogram_yolov11_tpu.models.rtdetr import RTDETRPredictor as cls  # noqa: F811
         overrides = {k: v for k, v in {**self.overrides, **kwargs}.items() if k not in {"model", "task", "mode"}}
-        predictor = BasePredictor if self.task == "detect" else cls
         self.predictor = cls(self.model, self.variables, overrides=overrides)
         return self.predictor(source, stream=stream, batch_size=kwargs.get("batch", 1))
 

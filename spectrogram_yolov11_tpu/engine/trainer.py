@@ -146,23 +146,29 @@ class BaseTrainer:
     def loss_names(self):
         return ["box_loss", "cls_loss", "dfl_loss"]
 
+    # -- task hook: training forward (overridable, e.g. RT-DETR dn queries) --
+    def forward_train(self, params, batch_stats, batch, ni):
+        """Forward in train mode; returns (head_output, new_batch_stats)."""
+        x = batch["img"].astype(jnp.float32) / 255.0
+        out, mut = self.model.graph.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=True, mutable=["batch_stats"]
+        )
+        return out, mut["batch_stats"]
+
     # -- jitted step --------------------------------------------------------
     def _make_train_step(self, opt_cfg, groups, accumulate: int, wd_scaled: float):
-        model = self.model
         compute_loss = self.compute_loss
+        forward_train = self.forward_train
 
-        def loss_fn(params, batch_stats, batch):
-            x = batch["img"].astype(jnp.float32) / 255.0
-            feats, mut = model.graph.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=True, mutable=["batch_stats"]
-            )
-            total, items = compute_loss(feats, batch)
-            return total, (items, mut["batch_stats"])
+        def loss_fn(params, batch_stats, batch, ni):
+            out, new_bs = forward_train(params, batch_stats, batch, ni)
+            total, items = compute_loss(out, batch)
+            return total, (items, new_bs)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
         def train_step(state, batch, ni):
-            (loss, (items, new_bs)), grads = grad_fn(state["params"], state["batch_stats"], batch)
+            (loss, (items, new_bs)), grads = grad_fn(state["params"], state["batch_stats"], batch, ni)
             buf = jax.tree_util.tree_map(lambda b, g: b + g, state["grad_buf"], grads)
             do_step = ((ni + 1) % accumulate) == 0
 

@@ -526,13 +526,13 @@ class HGStem(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = Conv(self.c1, self.cm, 3, 2, act="relu", dtype=self.dtype, name="stem1")(x, train)
-        x2 = Conv(self.cm, self.cm // 2, 2, 1, p=0, act="relu", dtype=self.dtype, name="stem2a")(
-            jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0))), train
-        )
+        # torch pads x with [0,1,0,1] BEFORE both the stem2 path and the pool
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = Conv(self.cm, self.cm // 2, 2, 1, p=0, act="relu", dtype=self.dtype, name="stem2a")(x, train)
         x2 = Conv(self.cm // 2, self.cm, 2, 1, p=0, act="relu", dtype=self.dtype, name="stem2b")(
             jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0))), train
         )
-        x1 = max_pool2d(x, 2, 1, 0)  # ceil_mode pooling handled by pre-pad in torch; shapes match stem2 path
+        x1 = max_pool2d(x, 2, 1, 0)  # on the padded map; matches torch ceil_mode pool (post-ReLU, pad-0 is neutral)
         x = jnp.concatenate([x1, x2], axis=-1)
         x = Conv(self.cm * 2, self.cm, 3, 2, act="relu", dtype=self.dtype, name="stem3")(x, train)
         return Conv(self.cm, self.c2, 1, 1, act="relu", dtype=self.dtype, name="stem4")(x, train)

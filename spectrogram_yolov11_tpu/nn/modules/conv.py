@@ -95,7 +95,7 @@ class ConvRaw(nn.Module):
         )(x)
 
 
-def conv2d(x, c2, k=1, s=1, p=None, g=1, d=1, bias=False, dtype=None, name="conv"):
+def conv2d(x, c2, k=1, s=1, p=None, g=1, d=1, bias=False, dtype=None, name="conv", kernel_init=None):
     """Inline helper creating a torch-compatible nn.Conv inside @nn.compact bodies."""
     kk = _pair(k)
     if p is None:
@@ -112,6 +112,7 @@ def conv2d(x, c2, k=1, s=1, p=None, g=1, d=1, bias=False, dtype=None, name="conv
         dtype=dtype,
         param_dtype=jnp.float32,
         name=name,
+        kernel_init=kernel_init or nn.initializers.lecun_normal(),
     )(x)
 
 

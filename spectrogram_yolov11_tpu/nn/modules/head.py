@@ -17,6 +17,7 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from .block import Proto
@@ -201,3 +202,159 @@ def detect_bias_init(params: dict, strides, nc: int, prefix: str = "") -> dict:
             val = math.log(5 / nc / (640 / float(s)) ** 2)
             params[cls_key]["bias"] = jnp.full_like(b, 0.0).at[:nc].set(val)
     return params
+
+
+class _DecoderStack(nn.Module):
+    """Container giving decoder layers the torch scope `decoder.layers_{i}`
+    (reference: DeformableTransformerDecoder, transformer.py:374). Compact
+    modules may be invoked repeatedly; each distinct name creates one layer."""
+
+    d_model: int
+    n_heads: int
+    d_ffn: int
+    n_levels: int
+    n_points: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, i: int, embed, refer_bbox, feats, shapes, attn_mask=None, query_pos=None):
+        from .transformer import DeformableTransformerDecoderLayer
+
+        return DeformableTransformerDecoderLayer(
+            self.d_model, self.n_heads, self.d_ffn, self.n_levels, self.n_points,
+            dtype=self.dtype, name=f"layers_{i}",
+        )(embed, refer_bbox, feats, shapes, attn_mask=attn_mask, query_pos=query_pos)
+
+
+class RTDETRDecoder(nn.Module):
+    """Real-Time Deformable Transformer Decoder head (reference: head.py:486).
+
+    NHWC multi-scale inputs -> 300-query deformable decoder with IoU-aware
+    query selection and (in training) contrastive denoising queries.
+
+    TPU-first deviations from the reference:
+    - denoising group geometry is STATIC: callers pass pre-noised dn_cls /
+      dn_bbox / dn_valid tensors of fixed width (generated inside the jitted
+      train step by ops.detr_loss.make_cdn_batch), instead of the reference's
+      dynamic get_cdn_group whose width depends on the batch's max GT count;
+    - training returns stacked per-layer predictions (ndl, B, Lq, ...) so the
+      aux losses consume one fused tensor.
+    """
+
+    nc: int = 80
+    ch: Tuple[int, ...] = ()
+    hd: int = 256
+    nq: int = 300
+    ndp: int = 4
+    nh: int = 8
+    ndl: int = 6
+    d_ffn: int = 1024
+    eval_idx: int = -1
+    learnt_init_query: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False, dn_cls=None, dn_bbox=None, dn_valid=None, attn_mask=None):
+        from .transformer import MLP, bias_init_with_prob, inverse_sigmoid
+
+        nl = len(self.ch)
+        B = xs[0].shape[0]
+        bias_cls = bias_init_with_prob(0.01) / 80 * self.nc
+
+        # -- input projection + flatten (reference _get_encoder_input) --
+        feats_l, shapes = [], []
+        for i, x in enumerate(xs):
+            p = conv2d(x, self.hd, 1, bias=False, dtype=self.dtype,
+                       kernel_init=nn.initializers.xavier_uniform(), name=f"input_proj_{i}_0")
+            p = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                             dtype=jnp.float32, param_dtype=jnp.float32, name=f"input_proj_{i}_1")(p)
+            h, w = p.shape[1], p.shape[2]
+            feats_l.append(p.reshape(B, h * w, self.hd))
+            shapes.append((h, w))
+        feats = jnp.concatenate(feats_l, axis=1)  # (B, A, hd)
+
+        # -- anchors (reference _generate_anchors: grid centers + 0.05*2^i wh) --
+        anchors_np, valid_np = [], []
+        for i, (h, w) in enumerate(shapes):
+            gy, gx = np.meshgrid(np.arange(h, dtype=np.float32), np.arange(w, dtype=np.float32), indexing="ij")
+            xy = (np.stack([gx, gy], -1) + 0.5) / np.array([w, h], np.float32)
+            wh = np.full_like(xy, 0.05 * (2.0**i))
+            anchors_np.append(np.concatenate([xy, wh], -1).reshape(h * w, 4))
+        anchors_np = np.concatenate(anchors_np, 0)  # (A, 4)
+        valid_np = ((anchors_np > 1e-2) & (anchors_np < 1 - 1e-2)).all(-1, keepdims=True)  # (A, 1)
+        logit_anchors = np.where(valid_np, np.log(anchors_np / (1 - anchors_np + 1e-12)), np.inf).astype(np.float32)
+        anchors = jnp.asarray(logit_anchors)[None]  # (1, A, 4)
+        valid = jnp.asarray(valid_np.astype(np.float32))[None]  # (1, A, 1)
+
+        # -- encoder head + query selection (reference _get_decoder_input) --
+        features = nn.Dense(self.hd, dtype=self.dtype, param_dtype=jnp.float32,
+                            kernel_init=nn.initializers.xavier_uniform(), name="enc_output_0")(valid * feats)
+        features = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, param_dtype=jnp.float32, name="enc_output_1")(features)
+        enc_scores_all = nn.Dense(self.nc, dtype=self.dtype, param_dtype=jnp.float32,
+                                  bias_init=nn.initializers.constant(bias_cls), name="enc_score_head")(features)
+        nq = min(self.nq, features.shape[1])  # tiny inputs may have < nq anchors
+        _, topi = jax.lax.top_k(enc_scores_all.max(-1), nq)  # (B, nq)
+        top_feats = jnp.take_along_axis(features, topi[..., None], axis=1)  # (B, nq, hd)
+        top_anchors = jnp.take_along_axis(jnp.broadcast_to(anchors, (B, anchors.shape[1], 4)), topi[..., None], axis=1)
+        enc_bbox_head = MLP(self.hd, self.hd, 4, 3, last_zero=True, dtype=self.dtype, name="enc_bbox_head")
+        refer_bbox = enc_bbox_head(top_feats) + top_anchors
+        enc_bboxes = jax.nn.sigmoid(refer_bbox)
+        enc_scores = jnp.take_along_axis(enc_scores_all, topi[..., None], axis=1)  # (B, nq, nc)
+
+        embeddings = top_feats  # learnt_init_query=False in all shipped configs
+        if train:
+            refer_bbox = jax.lax.stop_gradient(refer_bbox)
+            embeddings = jax.lax.stop_gradient(embeddings)
+
+        # -- denoising queries (training) --
+        # the embedding table is declared unconditionally so the param tree
+        # does not depend on whether this trace carries dn queries
+        embed_table = self.param("denoising_class_embed", nn.initializers.normal(1.0),
+                                 (self.nc, self.hd), jnp.float32)
+        num_dn = 0
+        if dn_cls is not None:
+            num_dn = dn_cls.shape[1]
+            dn_embed = jnp.take(embed_table, dn_cls, axis=0) * dn_valid[..., None].astype(jnp.float32)
+            dn_bbox = dn_bbox * dn_valid[..., None].astype(dn_bbox.dtype)
+            embeddings = jnp.concatenate([dn_embed.astype(embeddings.dtype), embeddings], axis=1)
+            refer_bbox = jnp.concatenate([dn_bbox.astype(refer_bbox.dtype), refer_bbox], axis=1)
+
+        # -- decoder (reference DeformableTransformerDecoder.forward) --
+        query_pos_head = MLP(4, 2 * self.hd, self.hd, 2, xavier=True, dtype=self.dtype, name="query_pos_head")
+        stack = _DecoderStack(self.hd, self.nh, self.d_ffn, nl, self.ndp, dtype=self.dtype, name="decoder")
+        dec_bbox_heads = [MLP(self.hd, self.hd, 4, 3, last_zero=True, dtype=self.dtype, name=f"dec_bbox_head_{i}")
+                          for i in range(self.ndl)]
+        dec_score_heads = [nn.Dense(self.nc, dtype=self.dtype, param_dtype=jnp.float32,
+                                    bias_init=nn.initializers.constant(bias_cls), name=f"dec_score_head_{i}")
+                           for i in range(self.ndl)]
+        eval_idx = self.eval_idx if self.eval_idx >= 0 else self.ndl + self.eval_idx
+
+        output = embeddings
+        refer = jax.nn.sigmoid(refer_bbox)
+        dec_bboxes, dec_cls = [], []
+        last_refined = None
+        for i in range(self.ndl):
+            output = stack(i, output, refer, feats, shapes, attn_mask=attn_mask, query_pos=query_pos_head(refer))
+            bbox = dec_bbox_heads[i](output)
+            score = dec_score_heads[i](output)  # computed every layer so init creates all params
+            refined = jax.nn.sigmoid(bbox + inverse_sigmoid(refer))
+            if train:
+                dec_cls.append(score)
+                dec_bboxes.append(refined if i == 0 else jax.nn.sigmoid(bbox + inverse_sigmoid(last_refined)))
+            elif i == eval_idx:
+                dec_cls.append(score)
+                dec_bboxes.append(refined)
+                break
+            last_refined = refined
+            refer = jax.lax.stop_gradient(refined) if train else refined
+
+        dec_bboxes = jnp.stack(dec_bboxes)  # (ndl|1, B, Lq, 4)
+        dec_cls = jnp.stack(dec_cls)
+        if train:
+            return {
+                "dec_bboxes": dec_bboxes, "dec_scores": dec_cls,
+                "enc_bboxes": enc_bboxes, "enc_scores": enc_scores,
+                "num_dn": num_dn,
+            }
+        # (B, nq, 4 + nc) — normalized xywh + class probabilities
+        return jnp.concatenate([dec_bboxes[-1], jax.nn.sigmoid(dec_cls[-1])], axis=-1)

@@ -88,12 +88,16 @@ MODULE_REGISTRY: Dict[str, Any] = {
     "nn.Upsample": M.Upsample,
     "nn.MaxPool2d": M.MaxPool2d,
     "nn.Identity": None,  # handled inline
+    # transformer family (RT-DETR)
+    "AIFI": M.AIFI,
+    "TransformerEncoderLayer": M.TransformerEncoderLayer,
     # heads
     "Detect": M.Detect,
     "Segment": M.Segment,
     "Pose": M.Pose,
     "OBB": M.OBB,
     "Classify": M.Classify,
+    "RTDETRDecoder": M.RTDETRDecoder,
     # fork-authored modules (nn/modules/fork.py)
     "SELayer": M.SELayer,
     "SaELayer": M.SaELayer,
@@ -277,6 +281,21 @@ def parse_model(d: dict, ch: int, verbose: bool = True) -> Tuple[List[LayerSpec]
         elif cls is M.Index:
             c2 = args[0]
             args = args[1:]
+        elif cls in {M.HGStem, M.HGBlock}:
+            # reference: args = [c1, cm, c2, ...], HGBlock repeats at idx 4 (nn/tasks.py:1116)
+            c1, cm, c2 = ch_list[f], args[0], args[1]
+            args = [c1, cm, c2, *args[2:]]
+            if cls is M.HGBlock:
+                args.insert(4, n)
+                n = 1
+        elif cls is M.AIFI:
+            # reference: args = [ch[f], *args] (nn/tasks.py:1114)
+            c2 = ch_list[f]
+            args = [ch_list[f], *args]
+        elif cls is M.RTDETRDecoder:
+            # reference: channels arg at index 1 (nn/tasks.py:1142)
+            args.insert(1, tuple(ch_list[x] for x in f))
+            c2 = None
         elif cls in HEAD_MODULES:
             args.append(tuple(ch_list[x] for x in f))
             if cls is M.Segment:
@@ -322,20 +341,26 @@ class YOLOGraph(nn.Module):
                 layers.append(s.build(f"model_{s.i}", self.dtype))
         self.layers = layers
 
-    def __call__(self, x, train: bool = False, embed: Optional[Tuple[int, ...]] = None):
+    def __call__(self, x, train: bool = False, embed: Optional[Tuple[int, ...]] = None,
+                 head_kwargs: Optional[dict] = None):
+        """head_kwargs: extra inputs routed ONLY to the final (head) layer —
+        e.g. RT-DETR denoising queries (reference RTDETRDetectionModel.predict
+        passes `batch` to the head, nn/tasks.py:625)."""
         y: List[Any] = []
         embeddings = []
+        last = len(self.specs) - 1
         for idx, (spec, m) in enumerate(zip(self.specs, self.layers)):
             f = spec.f
             if f != -1:
                 x = y[f] if isinstance(f, int) else [x if j == -1 else y[j] for j in f]
+            kw = head_kwargs if (head_kwargs and idx == last) else {}
             if m is None:
                 pass
             elif isinstance(m, tuple):
                 for mm in m:
                     x = mm(x, train=train)
             else:
-                x = m(x, train=train)
+                x = m(x, train=train, **kw)
             y.append(x if idx in self.save else None)
             if embed and idx in embed:
                 feat = x
@@ -369,7 +394,8 @@ def yaml_model_load(path: str | Path) -> dict:
 def guess_model_task(d: dict) -> str:
     """Infer task from the final head module of a model yaml."""
     head = d["head"][-1][2]
-    return {"Detect": "detect", "Segment": "segment", "Pose": "pose", "OBB": "obb", "Classify": "classify"}.get(
+    return {"Detect": "detect", "Segment": "segment", "Pose": "pose", "OBB": "obb", "Classify": "classify",
+            "RTDETRDecoder": "rtdetr", "v10Detect": "detect", "WorldDetect": "world"}.get(
         head.split(".")[-1], "detect"
     )
 
@@ -495,12 +521,30 @@ class ClassificationModel(BaseModel):
         return np.array([1.0])
 
 
+class RTDETRDetectionModel(BaseModel):
+    """RT-DETR detection model (reference: nn/tasks.py:512).
+
+    The head (RTDETRDecoder) consumes multi-scale features and returns either
+    a training dict of per-layer predictions or an eval tensor
+    (B, 300, 4 + nc) of normalized-xywh boxes + class probabilities — no DFL
+    decode, no anchors, no NMS. Criterion = ops/detr_loss.rtdetr_loss.
+    """
+
+    task = "rtdetr"
+
+    def _calibrate_stride(self):
+        # transformer decoder head — stride is only informational (the
+        # reference leaves DetectionModel's default [32] for RTDETR too)
+        return np.array([32.0])
+
+
 TASK2MODELCLS = {
     "detect": DetectionModel,
     "segment": SegmentationModel,
     "pose": PoseModel,
     "obb": OBBModel,
     "classify": ClassificationModel,
+    "rtdetr": RTDETRDetectionModel,
 }
 
 

@@ -78,6 +78,12 @@ def torch_state_to_variables(
         ):
             path.insert(1, "detect")
 
+        # nn.Embedding tables (RT-DETR denoising/tgt embeds): keep (num, dim)
+        # untransposed; our modules declare them as a direct leaf param
+        if leaf == "weight" and len(path) >= 2 and path[-2] in {"denoising_class_embed", "tgt_embed"}:
+            _set(params, tuple(path[:-1]), val)
+            continue
+
         is_bn = len(path) >= 2 and (path[-2] == "bn" or path[-2].startswith("bn_") or leaf in {"running_mean", "running_var"})
         if leaf == "running_mean":
             _set(stats, tuple(path[:-1] + ["mean"]), val)

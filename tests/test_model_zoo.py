@@ -18,7 +18,8 @@ YAMLS = sorted(
 @pytest.mark.parametrize("yaml_path", YAMLS, ids=lambda p: p.stem)
 def test_model_yaml_builds_and_forwards(yaml_path):
     d = yaml_model_load(str(yaml_path))
-    d["scale"] = "n"
+    scales = d.get("scales") or {}
+    d["scale"] = "n" if (not scales or "n" in scales) else next(iter(scales))
     m = build_model(d, verbose=False)
     x = jnp.zeros((1, 128, 128, 3))
     vs = jax.eval_shape(lambda: m.graph.init(jax.random.PRNGKey(0), x, train=False))

@@ -61,6 +61,25 @@ class BasePredictor:
         conf, iou, max_det = float(args.conf), float(args.iou), int(args.max_det)
         classes = None if args.classes is None else jnp.asarray(args.classes)
 
+        if getattr(model, "end2end", False):
+            from spectrogram_yolov11_tpu.ops.decode import decode_e2e, nms_free_postprocess
+
+            @jax.jit
+            def run_e2e(variables, imgs_u8):
+                x = _norm_on_device(imgs_u8)
+                out = model.apply(variables, x, train=False)
+                preds = decode_e2e(out["one2one"], nc=nc, strides=strides)
+                det = nms_free_postprocess(preds, max_det, nc)
+                keep = det[..., 4] > conf
+                if classes is not None:
+                    keep = keep & jnp.isin(det[..., 5], classes.astype(det.dtype))
+                    order = jnp.argsort(~keep, axis=1, stable=True)  # kept rows first, conf order kept
+                    det = jnp.take_along_axis(det, order[..., None], axis=1)
+                nv = keep.sum(-1).astype(jnp.int32)
+                return det, nv
+
+            return run_e2e
+
         @jax.jit
         def run(variables, imgs_u8):
             x = _norm_on_device(imgs_u8)

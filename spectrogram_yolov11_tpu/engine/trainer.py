@@ -136,11 +136,15 @@ class BaseTrainer:
     # -- task hook: forward + criterion over one batch dict ------------------
     def compute_loss(self, feats, batch):
         """Task criterion over raw head output (overridden per task)."""
-        return detection_loss(
-            feats, batch["cls"], batch["bboxes"], batch["mask_gt"],
+        kw = dict(
             nc=self.data["nc"], imgsz=self.imgsz, strides=tuple(float(s) for s in self.model.stride),
             hyp_box=float(self.args.box), hyp_cls=float(self.args.cls), hyp_dfl=float(self.args.dfl),
         )
+        if isinstance(feats, dict):  # end2end (v10) head: dual one2many/one2one
+            from spectrogram_yolov11_tpu.ops.losses import e2e_detection_loss
+
+            return e2e_detection_loss(feats, batch["cls"], batch["bboxes"], batch["mask_gt"], **kw)
+        return detection_loss(feats, batch["cls"], batch["bboxes"], batch["mask_gt"], **kw)
 
     @property
     def loss_names(self):

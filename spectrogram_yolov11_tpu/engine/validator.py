@@ -84,6 +84,21 @@ class DetectionValidator:
         model, args = self.model, self.args
         nc, strides = model.nc, tuple(float(s) for s in model.stride)
 
+        if getattr(model, "end2end", False):
+            # NMS-free path (reference ops.py:240-244: conf gate only)
+            from spectrogram_yolov11_tpu.ops.decode import decode_e2e, nms_free_postprocess
+
+            @jax.jit
+            def run_e2e(variables, imgs_u8):
+                x = imgs_u8.astype(jnp.float32) / 255.0
+                out = model.apply(variables, x, train=False)
+                preds = decode_e2e(out["one2one"], nc=nc, strides=strides)
+                det = nms_free_postprocess(preds, int(args.max_det), nc)
+                nv = (det[..., 4] > float(args.conf)).sum(-1).astype(jnp.int32)
+                return det, nv
+
+            return run_e2e
+
         @jax.jit
         def run(variables, imgs_u8):
             x = imgs_u8.astype(jnp.float32) / 255.0

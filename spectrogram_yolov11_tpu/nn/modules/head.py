@@ -192,15 +192,17 @@ def detect_bias_init(params: dict, strides, nc: int, prefix: str = "") -> dict:
     (returns the same object). `params` is the Detect module's own subtree.
     """
     for i, s in enumerate(strides):
-        box_key = f"{prefix}cv2_{i}_2"
-        cls_key = f"{prefix}cv3_{i}_2"
-        if box_key in params:
-            b = params[box_key]["bias"]
-            params[box_key]["bias"] = jnp.ones_like(b)
-        if cls_key in params:
-            b = params[cls_key]["bias"]
-            val = math.log(5 / nc / (640 / float(s)) ** 2)
-            params[cls_key]["bias"] = jnp.full_like(b, 0.0).at[:nc].set(val)
+        # end2end heads carry a duplicated one2one branch (reference head.py:141)
+        for branch in ("", "one2one_"):
+            box_key = f"{prefix}{branch}cv2_{i}_2"
+            cls_key = f"{prefix}{branch}cv3_{i}_2"
+            if box_key in params:
+                b = params[box_key]["bias"]
+                params[box_key]["bias"] = jnp.ones_like(b)
+            if cls_key in params:
+                b = params[cls_key]["bias"]
+                val = math.log(5 / nc / (640 / float(s)) ** 2)
+                params[cls_key]["bias"] = jnp.full_like(b, 0.0).at[:nc].set(val)
     return params
 
 

@@ -98,6 +98,7 @@ MODULE_REGISTRY: Dict[str, Any] = {
     "OBB": M.OBB,
     "Classify": M.Classify,
     "RTDETRDecoder": M.RTDETRDecoder,
+    "v10Detect": M.Detect,  # same param structure; end2end+light-cls kwargs set in parse_model
     # fork-authored modules (nn/modules/fork.py)
     "SELayer": M.SELayer,
     "SaELayer": M.SaELayer,
@@ -301,6 +302,9 @@ def parse_model(d: dict, ch: int, verbose: bool = True) -> Tuple[List[LayerSpec]
             if cls is M.Segment:
                 args[2] = make_divisible(min(args[2], max_channels) * width, 8)
             kwargs["legacy"] = legacy
+            if m == "v10Detect":  # reference head.py:717 — light cls branch + dual assignments
+                kwargs["legacy"] = False
+                kwargs["end2end"] = True
             c2 = None
         elif cls is M.Upsample or cls is M.MaxPool2d or cls is None:
             c2 = ch_list[f]
@@ -425,6 +429,7 @@ class BaseModel:
         self.graph = YOLOGraph(specs=tuple(self.specs), save=tuple(self.save), dtype=dtype)
         self.names = {i: f"{i}" for i in range(self.nc)}
         self.head_spec = self.specs[-1]
+        self.end2end = bool(dict(self.head_spec.kwargs).get("end2end", False))
         self.stride = self._calibrate_stride()
         self.args: dict = {}
 

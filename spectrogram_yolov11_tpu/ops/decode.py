@@ -125,3 +125,34 @@ def decode_kpts(
         conf = jax.nn.sigmoid(y[..., 2:3])
         return jnp.concatenate([xy, conf], axis=-1)
     return xy
+
+
+def decode_e2e(feats: List[jax.Array], nc: int, strides: Sequence[float], reg_max: int = 16) -> jax.Array:
+    """End-to-end (v10) decode: like decode_detections but boxes stay XYXY
+    (reference Detect.decode_bboxes: xywh and (not end2end), head.py:146)."""
+    shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    anchors, stride_t = make_anchors(shapes, strides)
+    x = flatten_feats(feats).astype(jnp.float32)
+    box_logits, cls_logits = x[..., : 4 * reg_max], x[..., 4 * reg_max :]
+    dist = dfl_decode(box_logits, reg_max)
+    boxes = dist2bbox(dist, anchors[None], xywh=False) * stride_t[None]
+    return jnp.concatenate([boxes, jax.nn.sigmoid(cls_logits)], axis=-1)
+
+
+def nms_free_postprocess(preds: jax.Array, max_det: int, nc: int):
+    """NMS-free top-k selection (reference Detect.postprocess, head.py:150).
+
+    preds (B, A, 4+nc) with xyxy boxes; returns (B, min(max_det, A), 6)
+    [x1, y1, x2, y2, conf, cls] sorted by confidence.
+    """
+    B, A = preds.shape[:2]
+    k = min(max_det, A)
+    boxes, scores = preds[..., :4], preds[..., 4:]
+    _, idx = jax.lax.top_k(scores.max(-1), k)  # (B, k) anchor pre-select
+    boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    scores = jnp.take_along_axis(scores, idx[..., None], axis=1)  # (B, k, nc)
+    flat = scores.reshape(B, -1)
+    conf, fidx = jax.lax.top_k(flat, k)  # over anchors x classes
+    sel_boxes = jnp.take_along_axis(boxes, (fidx // nc)[..., None], axis=1)
+    cls = (fidx % nc).astype(jnp.float32)
+    return jnp.concatenate([sel_boxes, conf[..., None], cls[..., None]], axis=-1)

@@ -399,3 +399,25 @@ def obb_loss(
 
     items = jnp.stack([hyp_box * loss_iou, hyp_cls * loss_cls, hyp_dfl * loss_dfl])
     return items.sum() * b, items
+
+
+def e2e_detection_loss(
+    out: dict,
+    cls: jnp.ndarray,
+    bboxes: jnp.ndarray,
+    mask_gt: jnp.ndarray,
+    nc: int,
+    reg_max: int = 16,
+    imgsz: int = 640,
+    strides: Tuple[float, ...] = (8.0, 16.0, 32.0),
+    hyp_box: float = 7.5,
+    hyp_cls: float = 0.5,
+    hyp_dfl: float = 1.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """E2EDetectLoss (reference: utils/loss.py:743-758): one2many branch with
+    TAL topk=10 + one2one branch with topk=1; totals and items summed."""
+    t1, i1 = detection_loss(out["one2many"], cls, bboxes, mask_gt, nc=nc, reg_max=reg_max, imgsz=imgsz,
+                            strides=strides, hyp_box=hyp_box, hyp_cls=hyp_cls, hyp_dfl=hyp_dfl, tal_topk=10)
+    t2, i2 = detection_loss(out["one2one"], cls, bboxes, mask_gt, nc=nc, reg_max=reg_max, imgsz=imgsz,
+                            strides=strides, hyp_box=hyp_box, hyp_cls=hyp_cls, hyp_dfl=hyp_dfl, tal_topk=1)
+    return t1 + t2, i1 + i2

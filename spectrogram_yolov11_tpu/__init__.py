@@ -17,7 +17,19 @@ def __getattr__(name):
         from spectrogram_yolov11_tpu.engine.model import YOLO
 
         return YOLO
+    if name == "YOLOWorld":
+        from spectrogram_yolov11_tpu.engine.model import YOLOWorld
+
+        return YOLOWorld
+    if name == "RTDETR":
+        from spectrogram_yolov11_tpu.models.rtdetr import RTDETR
+
+        return RTDETR
+    if name in ("FastSAM", "NAS", "SAM"):
+        import importlib
+
+        return getattr(importlib.import_module(f"spectrogram_yolov11_tpu.models.{name.lower()}"), name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
-__all__ = ["YOLO", "ASSETS", "DEFAULT_CFG", "__version__"]
+__all__ = ["YOLO", "YOLOWorld", "RTDETR", "FastSAM", "NAS", "SAM", "ASSETS", "DEFAULT_CFG", "__version__"]

@@ -130,6 +130,7 @@ class YOLO:
         else:
             cls = {
                 "detect": V.DetectionValidator,
+                "world": V.DetectionValidator,  # world eval = detect decode+NMS over text classes
                 "segment": V.SegmentationValidator,
                 "pose": V.PoseValidator,
                 "obb": V.OBBValidator,
@@ -199,3 +200,16 @@ class YOLO:
     def fuse(self):
         LOGGER.info("fuse(): conv+BN folding is applied at export; XLA fuses the affine at jit time.")
         return self
+
+    def set_classes(self, classes) -> None:
+        """World models: re-embed class names (reference: engine/model.py YOLOWorld)."""
+        if not hasattr(self.model, "set_classes"):
+            raise AttributeError(f"{self.task} models have a fixed class head; set_classes is world-only")
+        self.model.set_classes(classes)
+
+
+class YOLOWorld(YOLO):
+    """`YOLOWorld('yolov8s-world.yaml')` facade (reference: models/yolo/model.py:62)."""
+
+    def __init__(self, model="yolov8s-world.yaml", verbose: bool = False):
+        super().__init__(model, task="world", verbose=verbose)

@@ -495,9 +495,35 @@ class OBBTrainer(BaseTrainer):
         )
 
 
+class WorldTrainer(BaseTrainer):
+    """YOLO-World trainer (reference: models/yolo/world/train.py:24).
+
+    The criterion is the standard v8 detection loss — the contrastive head
+    already produced (4*reg_max + nc) logits per level. Text features come
+    from the model's offline embedding stub (WorldModel.text_embeddings);
+    the reference encodes dataset class names with CLIP per batch.
+    """
+
+    task = "world"
+
+    def setup_model(self):
+        super().setup_model()
+        if self.data.get("names"):
+            self.model.set_classes([self.data["names"][i] for i in sorted(self.data["names"])])
+
+    def forward_train(self, params, batch_stats, batch, ni):
+        x = batch["img"].astype(jnp.float32) / 255.0
+        out, mut = self.model.graph.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=True,
+            txt_feats=self.model._txt(x.shape[0]), mutable=["batch_stats"],
+        )
+        return out, mut["batch_stats"]
+
+
 TASK2TRAINER = {
     "detect": DetectionTrainer,
     "segment": SegmentationTrainer,
     "pose": PoseTrainer,
     "obb": OBBTrainer,
+    "world": WorldTrainer,
 }

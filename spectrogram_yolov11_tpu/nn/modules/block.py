@@ -763,3 +763,87 @@ class C3f(nn.Module):
             ys.append(Bottleneck(c_, c_, self.shortcut, self.g, k=((3, 3), (3, 3)), e=1.0,
                                  dtype=self.dtype, name=f"m_{i}")(ys[-1], train))
         return Conv((2 + self.n) * c_, self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate(ys, -1), train)
+
+
+class C3x(nn.Module):
+    """Fork-modified C3x: C3 whose inner stack is a single MSCSpatialAttention
+    over the hidden channels (reference fork block.py:522 — NOT the stock
+    cross-conv C3x; this fork rebinds self.m to MSCSpatialAttention(c_))."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .fork import MSCSpatialAttention
+
+        c_ = int(self.c2 * self.e)
+        a = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        a = MSCSpatialAttention(c_, dtype=self.dtype, name="m")(a, train)
+        return Conv(2 * c_, self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate((a, b), axis=-1), train)
+
+
+class _ResNetBasicBlock(nn.Module):
+    """ResNet BasicBlock (3x3 + 3x3, identity/downsample skip)."""
+
+    cin: int
+    cout: int
+    stride: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .conv import batch_norm, conv2d
+
+        idn = x
+        y = conv2d(x, self.cout, 3, self.stride, 1, dtype=self.dtype, name="conv1")
+        y = batch_norm(y, train, name="bn1")
+        y = jax.nn.relu(y)
+        y = conv2d(y, self.cout, 3, 1, 1, dtype=self.dtype, name="conv2")
+        y = batch_norm(y, train, name="bn2")
+        if self.stride != 1 or self.cin != self.cout:
+            idn = conv2d(x, self.cout, 1, self.stride, 0, dtype=self.dtype, name="downsample_0")
+            idn = batch_norm(idn, train, name="downsample_1")
+        return jax.nn.relu(y + idn)
+
+
+class TorchVision(nn.Module):
+    """Native backbone stand-in for the reference TorchVision wrapper
+    (reference block.py:2209). The reference loads torchvision models at
+    runtime; zero-egress TPU builds get a from-scratch flax ResNet instead
+    (resnet18/resnet34 layouts), truncated like unwrap=True (drops
+    avgpool+fc when truncate=2), random-initialized.
+    """
+
+    model: str = "resnet18"
+    weights: str = "DEFAULT"  # accepted for config parity; no download happens
+    unwrap: bool = True
+    truncate: int = 2
+    split: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .conv import batch_norm, conv2d, max_pool2d
+
+        blocks = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3)}.get(str(self.model))
+        if blocks is None:
+            raise NotImplementedError(f"TorchVision native stand-in supports resnet18/34, got {self.model}")
+        y = conv2d(x, 64, 7, 2, 3, dtype=self.dtype, name="conv1")
+        y = jax.nn.relu(batch_norm(y, train, name="bn1"))
+        y = max_pool2d(jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf), 3, 2, 0)
+        cin = 64
+        for si, (n, cout) in enumerate(zip(blocks, (64, 128, 256, 512))):
+            for bi in range(n):
+                y = _ResNetBasicBlock(cin, cout, stride=2 if (bi == 0 and si > 0) else 1,
+                                      dtype=self.dtype, name=f"layer{si + 1}_{bi}")(y, train)
+                cin = cout
+        if not self.unwrap or self.truncate < 2:
+            y = jnp.mean(y, axis=(1, 2))  # avgpool (fc head dropped either way)
+        return y

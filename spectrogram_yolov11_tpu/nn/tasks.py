@@ -74,6 +74,8 @@ MODULE_REGISTRY: Dict[str, Any] = {
     "RepVGGDW": M.RepVGGDW,
     "HGStem": M.HGStem,
     "HGBlock": M.HGBlock,
+    "C3x": M.C3x,
+    "TorchVision": M.TorchVision,
     "RepNCSPELAN4": M.RepNCSPELAN4,
     "ELAN1": M.ELAN1,
     "AConv": M.AConv,
@@ -99,6 +101,10 @@ MODULE_REGISTRY: Dict[str, Any] = {
     "Classify": M.Classify,
     "RTDETRDecoder": M.RTDETRDecoder,
     "v10Detect": M.Detect,  # same param structure; end2end+light-cls kwargs set in parse_model
+    # world (open-vocabulary) family
+    "C2fAttn": M.C2fAttn,
+    "ImagePoolingAttn": M.ImagePoolingAttn,
+    "WorldDetect": M.WorldDetect,
     # fork-authored modules (nn/modules/fork.py)
     "SELayer": M.SELayer,
     "SaELayer": M.SaELayer,
@@ -147,17 +153,17 @@ BASE_MODULES = {
     M.Conv, M.ConvE, M.ConvGN, M.ConvTranspose, M.GhostConv, M.Bottleneck, M.GhostBottleneck,
     M.SPP, M.SPPF, M.C2fPSA, M.C2PSA, M.DWConv, M.Focus, M.BottleneckCSP, M.C1, M.C2, M.C2f,
     M.C3k2, M.C3, M.C3k, M.RepC3, M.PSA, M.CBAM, M.SCDown, M.C2fCIB, M.Classify, M.LightConv,
-    M.RepConv,
+    M.RepConv, M.C2fAttn,
     # fork modules registered as base modules (reference nn/tasks.py:988-1051)
-    M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN, M.C3f,
+    M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN, M.C3f, M.C3x,
     M.RecycleConv, M.GhostConvHCA, M.LDConv, M.Cross_AKConv, M.Mix_SPPF, M.SELayer, M.SaELayer,
     M.SAPF, M.DDWConv, M.ConvOMN, M.MaxConv, M.GhostMaxConv, M.ConvHCA, M.GhostConvMax,
     M.FilterMaxConv, M.MaxConvHCA, M.C3k2GC, M.C3MSCk2, M.XCBAM2C2f, M.CoordAtt, M.HCoordAtt,
     M.MaxHCoordAtt, M.AKCBAM, M.C3GC,
 }
 REPEAT_MODULES = {
-    M.BottleneckCSP, M.C1, M.C2, M.C2f, M.C3k2, M.C3, M.RepC3, M.C2fPSA, M.C2fCIB, M.C2PSA, M.C3k,
-    M.C3k2GC, M.C3MSCk2, M.XCBAM2C2f, M.C3GC,
+    M.BottleneckCSP, M.C1, M.C2, M.C2f, M.C3k2, M.C3, M.C3x, M.RepC3, M.C2fPSA, M.C2fCIB, M.C2PSA, M.C3k,
+    M.C3k2GC, M.C3MSCk2, M.XCBAM2C2f, M.C3GC, M.C2fAttn,
 }
 HEAD_MODULES = {M.Detect, M.Segment, M.Pose, M.OBB}
 SCALE_SENSITIVE = {M.C3k2, M.C3k2GC, M.C3MSCk2, M.XCBAM2C2f}  # args[3] flips on m/l/x scales
@@ -244,6 +250,9 @@ def parse_model(d: dict, ch: int, verbose: bool = True) -> Tuple[List[LayerSpec]
             c1, c2 = ch_list[f], args[0]
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
+            if cls is M.C2fAttn:  # embed channels + num heads scale (reference nn/tasks.py:1090)
+                args[1] = make_divisible(min(args[1], max_channels // 2) * width, 8)
+                args[2] = int(max(round(min(args[2], max_channels // 2 // 32)) * width, 1) if args[2] > 1 else args[2])
             args = [c1, c2, *args[1:]]
             if cls in REPEAT_MODULES:
                 args.insert(2, n)
@@ -279,7 +288,8 @@ def parse_model(d: dict, ch: int, verbose: bool = True) -> Tuple[List[LayerSpec]
         elif cls is M.CBFuse:
             c2 = ch_list[f[-1]]
             args = [_listify(args[0])] if args else [()]
-        elif cls is M.Index:
+        elif cls is M.Index or cls is M.TorchVision:
+            # reference nn/tasks.py:1150 — args[0] declares output channels
             c2 = args[0]
             args = args[1:]
         elif cls in {M.HGStem, M.HGBlock}:
@@ -297,11 +307,12 @@ def parse_model(d: dict, ch: int, verbose: bool = True) -> Tuple[List[LayerSpec]
             # reference: channels arg at index 1 (nn/tasks.py:1142)
             args.insert(1, tuple(ch_list[x] for x in f))
             c2 = None
-        elif cls in HEAD_MODULES:
+        elif cls in HEAD_MODULES or cls in {M.WorldDetect, M.ImagePoolingAttn}:
             args.append(tuple(ch_list[x] for x in f))
             if cls is M.Segment:
                 args[2] = make_divisible(min(args[2], max_channels) * width, 8)
-            kwargs["legacy"] = legacy
+            if cls in HEAD_MODULES:
+                kwargs["legacy"] = legacy
             if m == "v10Detect":  # reference head.py:717 — light cls branch + dual assignments
                 kwargs["legacy"] = False
                 kwargs["end2end"] = True
@@ -346,13 +357,18 @@ class YOLOGraph(nn.Module):
         self.layers = layers
 
     def __call__(self, x, train: bool = False, embed: Optional[Tuple[int, ...]] = None,
-                 head_kwargs: Optional[dict] = None):
+                 head_kwargs: Optional[dict] = None, txt_feats: Optional[jax.Array] = None):
         """head_kwargs: extra inputs routed ONLY to the final (head) layer —
         e.g. RT-DETR denoising queries (reference RTDETRDetectionModel.predict
-        passes `batch` to the head, nn/tasks.py:625)."""
+        passes `batch` to the head, nn/tasks.py:625).
+        txt_feats: (B, K, ct) text embeddings for world models — routed like
+        the reference WorldModel.predict (nn/tasks.py:684-688): C2fAttn is
+        guided by the running text, ImagePoolingAttn refines it, WorldDetect
+        scores against the ORIGINAL text."""
         y: List[Any] = []
         embeddings = []
         last = len(self.specs) - 1
+        ori_txt = txt_feats
         for idx, (spec, m) in enumerate(zip(self.specs, self.layers)):
             f = spec.f
             if f != -1:
@@ -360,6 +376,16 @@ class YOLOGraph(nn.Module):
             kw = head_kwargs if (head_kwargs and idx == last) else {}
             if m is None:
                 pass
+            elif spec.type == "C2fAttn":
+                mods = m if isinstance(m, tuple) else (m,)
+                for mm in mods:
+                    x = mm(x, txt_feats, train=train)
+            elif spec.type == "ImagePoolingAttn":
+                # refines the running text; x passes through untouched
+                # (reference nn/tasks.py:688 does not reassign x either)
+                txt_feats = m(x, txt_feats, train=train)
+            elif spec.type == "WorldDetect":
+                x = m(x, ori_txt, train=train)
             elif isinstance(m, tuple):
                 for mm in m:
                     x = mm(x, train=train)
@@ -526,6 +552,79 @@ class ClassificationModel(BaseModel):
         return np.array([1.0])
 
 
+class WorldModel(BaseModel):
+    """YOLO-World open-vocabulary detection model (reference: nn/tasks.py:629).
+
+    The reference encodes class names with CLIP ViT-B/32 at set_classes time;
+    this zero-egress build substitutes a deterministic pseudo-embedding
+    (seeded from each class string's hash, L2-normalized) so the full config
+    family parses, forwards, and trains offline. Swap `text_embeddings` for
+    cached CLIP tensors to reproduce open-vocabulary transfer.
+    """
+
+    task = "world"
+
+    def __init__(self, cfg="yolov8s-world.yaml", ch=3, nc=None, verbose=True, dtype=None):
+        super().__init__(cfg, ch=ch, nc=nc, verbose=verbose, dtype=dtype)
+        self.txt_feats = self.text_embeddings([f"object{i}" for i in range(self.nc)])
+
+    @staticmethod
+    def text_embeddings(texts, ct: int = 512) -> np.ndarray:
+        """Deterministic offline stand-in for CLIP text encoding: (1, K, ct)."""
+        import hashlib
+
+        rows = []
+        for t in texts:
+            seed = int.from_bytes(hashlib.sha256(str(t).encode()).digest()[:4], "little")
+            v = np.random.default_rng(seed).normal(0, 1, ct).astype(np.float32)
+            rows.append(v / np.linalg.norm(v))
+        return np.stack(rows)[None]  # (1, K, ct)
+
+    def set_classes(self, texts) -> None:
+        """Offline set_classes (reference: nn/tasks.py:638): re-embed names."""
+        self.txt_feats = self.text_embeddings(list(texts))
+        self.nc = len(texts)
+        self.names = {i: str(t) for i, t in enumerate(texts)}
+
+    def _txt(self, batch: int):
+        t = jnp.asarray(self.txt_feats)
+        return jnp.broadcast_to(t, (batch, *t.shape[1:]))
+
+    def init(self, rng, imgsz: int = 64) -> dict:
+        dummy = jnp.zeros((1, int(imgsz), int(imgsz), self.ch), jnp.float32)
+        variables = jax.jit(self.graph.init, static_argnames=("train",))(rng, dummy, train=False, txt_feats=self._txt(1))
+        variables = _to_mutable(variables)
+        self._bias_init(variables)
+        return jax.device_put(variables)
+
+    def apply(self, variables: dict, x: jax.Array, train: bool = False, txt_feats=None):
+        txt = self._txt(x.shape[0]) if txt_feats is None else txt_feats
+        if train:
+            out, mut = self.graph.apply(variables, x, train=True, txt_feats=txt, mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+        return self.graph.apply(variables, x, train=False, txt_feats=txt)
+
+    def _calibrate_stride(self) -> np.ndarray:
+        s = 256
+        dummy = jnp.zeros((1, s, s, self.ch), jnp.float32)
+        txt = jnp.zeros((1, self.nc, 512), jnp.float32)
+        v_shape = jax.eval_shape(lambda: self.graph.init(jax.random.PRNGKey(0), dummy, train=False, txt_feats=txt))
+        out = jax.eval_shape(lambda v: self.graph.apply(v, dummy, train=False, txt_feats=txt), v_shape)
+        return np.array([s / f.shape[1] for f in out], np.float32)
+
+    def _bias_init(self, variables: dict) -> None:
+        # WorldDetect.bias_init sets only the box-branch bias (head.py:482 —
+        # the cls line is commented out; cv3 ends in the embed projection)
+        name = f"model_{self.head_spec.i}"
+        sub = variables["params"].get(name)
+        if sub is None:
+            return
+        for i in range(3):
+            key = f"cv2_{i}_2"
+            if key in sub:
+                sub[key]["bias"] = jnp.ones_like(sub[key]["bias"])
+
+
 class RTDETRDetectionModel(BaseModel):
     """RT-DETR detection model (reference: nn/tasks.py:512).
 
@@ -550,6 +649,7 @@ TASK2MODELCLS = {
     "obb": OBBModel,
     "classify": ClassificationModel,
     "rtdetr": RTDETRDetectionModel,
+    "world": WorldModel,
 }
 
 

@@ -1,2 +1,11 @@
 from .dataset import ClassificationDataset, YOLODataset, check_det_dataset  # noqa: F401
 from .build import DataLoader, build_dataloader, collate  # noqa: F401
+from .loaders import (  # noqa: F401
+    LoadImagesAndVideos,
+    LoadIQCaptures,
+    LoadPilAndNumpy,
+    LoadScreenshots,
+    LoadStreams,
+    LoadTensor,
+    load_inference_source,
+)

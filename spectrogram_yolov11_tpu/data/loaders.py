@@ -95,13 +95,157 @@ class LoadIQCaptures:
 
 
 def load_inference_source(source, vid_stride: int = 1):
-    """Route source -> loader (reference: data/build.py:186)."""
+    """Route source -> loader (reference: data/build.py:186 + check_source:160)."""
     if isinstance(source, (str, Path)):
-        if str(source).endswith(".npy"):
+        s = str(source)
+        if s.endswith(".npy"):
             return LoadIQCaptures(source)
+        if s.startswith("screen"):
+            return LoadScreenshots(source)
+        is_url = s.lower().startswith(("rtsp://", "rtmp://", "http://", "https://", "tcp://"))
+        if s.isdigit() or s.endswith(".streams") or is_url:
+            return LoadStreams(source, vid_stride=vid_stride)
         return LoadImagesAndVideos(source, vid_stride)
+    if isinstance(source, int):
+        return LoadStreams(str(source), vid_stride=vid_stride)
+    if isinstance(source, np.ndarray) and source.ndim == 4:
+        return LoadTensor(source) if source.shape[1] == 3 and source.shape[-1] != 3 else LoadPilAndNumpy(list(source))
     if isinstance(source, np.ndarray) or hasattr(source, "mode"):
         return LoadPilAndNumpy(source)
     if isinstance(source, (list, tuple)):
         return LoadPilAndNumpy(source)
+    if hasattr(source, "shape") and hasattr(source, "__array__"):  # jax/torch tensor CHW
+        return LoadTensor(source)
     raise TypeError(f"unsupported source type: {type(source)}")
+
+
+class LoadStreams:
+    """Threaded multi-stream reader with per-stream ring buffers
+    (reference: data/loaders.py:51).
+
+    Accepts camera indices ('0'), URLs (rtsp/http), video file paths, or a
+    `.streams` text file listing one source per line. A daemon thread per
+    stream keeps the newest `buffer_len` frames; iteration yields the latest
+    frame per stream, so slow consumers drop frames instead of lagging
+    (reference buffer=False semantics).
+    """
+
+    def __init__(self, sources="0", vid_stride: int = 1, buffer_len: int = 30, buffered: bool = False):
+        import threading
+
+        p = str(sources)
+        if p.endswith(".streams") and Path(p).is_file():
+            srcs = [s.strip() for s in Path(p).read_text().splitlines() if s.strip()]
+        else:
+            srcs = [sources]
+        self.sources = [int(s) if str(s).isdigit() else s for s in srcs]
+        self.vid_stride = vid_stride
+        self.buffered = buffered
+        self.running = True
+        self.caps, self.frames, self.threads = [], [], []
+        self.fps = []
+        for i, s in enumerate(self.sources):
+            cap = cv2.VideoCapture(s)
+            if not cap.isOpened():
+                raise ConnectionError(f"failed to open stream {s}")
+            self.caps.append(cap)
+            self.fps.append(max(cap.get(cv2.CAP_PROP_FPS) or 30, 1))
+            ok, frame = cap.read()
+            if not ok:
+                raise ConnectionError(f"failed to read from stream {s}")
+            self.frames.append([frame])
+            t = threading.Thread(target=self._reader, args=(i, cap, buffer_len), daemon=True)
+            t.start()
+            self.threads.append(t)
+
+    def _reader(self, i: int, cap, buffer_len: int) -> None:
+        n = 0
+        while self.running and cap.isOpened():
+            if len(self.frames[i]) >= buffer_len:
+                if not self.buffered:
+                    self.frames[i].pop(0)  # drop oldest — keep latest frames
+                else:
+                    import time as _t
+
+                    _t.sleep(0.01)
+                    continue
+            ok = cap.grab()
+            if not ok:
+                break
+            n += 1
+            if n % self.vid_stride == 0:
+                ok, frame = cap.retrieve()
+                if ok:
+                    self.frames[i].append(frame)
+        self.running = False
+
+    def __iter__(self):
+        import time as _t
+
+        frame_i = 0
+        while self.running or any(self.frames):
+            for i, s in enumerate(self.sources):
+                waited = 0.0
+                while not self.frames[i]:
+                    if not self.running or waited > 5.0:
+                        self.close()
+                        return
+                    _t.sleep(0.005)
+                    waited += 0.005
+                frame = self.frames[i].pop(0) if self.buffered else self.frames[i].pop(-1)
+                if not self.buffered:
+                    self.frames[i].clear()
+                yield str(s), frame, f"stream {i} frame {frame_i}"
+            frame_i += 1
+
+    def close(self) -> None:
+        self.running = False
+        for cap in self.caps:
+            cap.release()
+
+
+class LoadScreenshots:
+    """Screen-capture source (reference: data/loaders.py:213). Requires `mss`
+    (not bundled on TPU builds); availability-gated like the reference's
+    optional deps."""
+
+    def __init__(self, source="screen 0", **kwargs):
+        try:
+            import mss  # noqa: F401
+        except ImportError as e:
+            raise ImportError("LoadScreenshots requires the 'mss' package (pip install mss)") from e
+        parts = str(source).split()
+        self.screen = int(parts[1]) if len(parts) > 1 else 0
+        self.kwargs = kwargs
+
+    def __iter__(self):
+        import mss
+
+        with mss.mss() as sct:
+            monitor = sct.monitors[self.screen + 1]
+            i = 0
+            while True:
+                im = np.asarray(sct.grab(monitor))[:, :, :3]  # BGRA -> BGR
+                yield f"screen{self.screen}", np.ascontiguousarray(im), f"screenshot {i}"
+                i += 1
+
+
+class LoadTensor:
+    """Pre-tensorized input: (B, 3, H, W) or (3, H, W) arrays in [0, 1] or
+    uint8, RGB CHW torch convention -> BGR HWC frames (reference: loaders.py:516)."""
+
+    def __init__(self, tensor):
+        arr = np.asarray(tensor)
+        if arr.ndim == 3:
+            arr = arr[None]
+        if arr.ndim != 4 or arr.shape[1] != 3:
+            raise ValueError(f"LoadTensor expects (B, 3, H, W), got {arr.shape}")
+        if arr.dtype != np.uint8:
+            if float(arr.max(initial=0.0)) > 1.0 + 1e-3:
+                raise ValueError("float tensor values must be normalized to [0, 1]")
+            arr = (arr * 255).astype(np.uint8)
+        self.imgs = arr
+
+    def __iter__(self):
+        for i, im in enumerate(self.imgs):
+            yield f"tensor{i}", np.ascontiguousarray(im.transpose(1, 2, 0)[..., ::-1]), ""

@@ -154,9 +154,16 @@ class YOLO:
     def __call__(self, source=None, **kwargs):
         return self.predict(source, **kwargs)
 
-    def track(self, source=None, persist: bool = False, tracker: str = "botsort.yaml", **kwargs) -> List:
-        from spectrogram_yolov11_tpu.trackers.track import track_results
+    def track(self, source=None, persist: bool = False, tracker: str = "botsort.yaml",
+              stream: bool = False, **kwargs):
+        from spectrogram_yolov11_tpu.trackers.track import track_results, track_stream
 
+        if stream:
+            # per-frame streaming hookup (reference registers tracker callbacks
+            # on the predictor, trackers/track.py:93) — frames are tracked as
+            # they arrive, never materialized as a list
+            gen = self.predict(source, stream=True, **kwargs)
+            return track_stream(self, gen, persist=persist, tracker=tracker)
         results = self.predict(source, **kwargs)
         return track_results(self, results, persist=persist, tracker=tracker)
 

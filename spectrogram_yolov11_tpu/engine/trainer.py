@@ -296,6 +296,8 @@ class BaseTrainer:
             pbar = TQDM(enumerate(loader), total=nb, desc=f"epoch {epoch + 1}/{self.epochs}")
             for i, batch in pbar:
                 ni = i + nb * epoch
+                if self.args.plots and ni < 3:
+                    self._plot_train_batch(batch, ni)
                 batch_dev = shard_batch({k: v for k, v in batch.items() if k in train_keys}, mesh)
                 state, loss, items = step_fn(state, batch_dev, jnp.asarray(ni, jnp.int32))
                 mloss = (mloss * i + np.asarray(items)) / (i + 1)
@@ -327,6 +329,15 @@ class BaseTrainer:
 
         if self.args.profile:
             jax.profiler.stop_trace()
+        if self.args.plots:
+            # training-artifact plots (reference plotting.py:1176 plot_results)
+            try:
+                from spectrogram_yolov11_tpu.utils.plotting import plot_results
+
+                if self.csv.exists():
+                    plot_results(self.csv, self.save_dir)
+            except Exception as e:
+                LOGGER.warning(f"plot_results failed: {e}")
         # finalize: best.ckpt EMA-only (reference final_eval + strip_optimizer)
         if self.args.save and self.best.exists():
             strip_optimizer(self.best)
@@ -390,6 +401,15 @@ class BaseTrainer:
             "updates": int(meta.get("updates", 0)),
         }
         LOGGER.info(f"Resuming from {path} at epoch {self.start_epoch} (optimizer+EMA state restored)")
+
+    def _plot_train_batch(self, batch: dict, ni: int) -> None:
+        """Annotated train-batch mosaic (reference plotting.py:1008)."""
+        try:
+            from spectrogram_yolov11_tpu.utils.plotting import plot_images
+
+            plot_images(batch, self.model.names, self.save_dir / f"train_batch{ni}.jpg")
+        except Exception as e:
+            LOGGER.warning(f"train batch plot failed: {e}")
 
     def _write_csv(self, epoch: int, mloss, metrics: Dict[str, float]):
         import csv

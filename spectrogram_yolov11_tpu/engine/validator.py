@@ -14,6 +14,7 @@ task; stat accumulation is host numpy.
 from __future__ import annotations
 
 import time
+from pathlib import Path
 from typing import Dict, Optional
 
 import jax
@@ -151,6 +152,23 @@ class DetectionValidator:
             )
         return metrics
 
+    def _plot_curves(self):
+        """PR/F1/P/R curves + confusion matrix PNGs (reference metrics.py:556,
+        :394 — round-1 gap #9)."""
+        from spectrogram_yolov11_tpu.cfg import get_save_dir
+        from spectrogram_yolov11_tpu.utils.plotting import plot_confusion_matrix, plot_val_curves
+
+        save_dir = Path(self.args.save_dir) if getattr(self.args, "save_dir", None) else get_save_dir(self.args, name="val")
+        try:
+            plot_val_curves(self.metrics, self.names, save_dir)
+            cm = getattr(self, "confusion_matrix", None)
+            if cm is not None and getattr(cm, "matrix", None) is not None:
+                plot_confusion_matrix(cm.matrix, self.names, save_dir, normalize=True)
+                plot_confusion_matrix(cm.matrix, self.names, save_dir, normalize=False)
+            LOGGER.info(f"val plots saved to {save_dir}")
+        except Exception as e:  # plotting must never fail a val run
+            LOGGER.warning(f"val plotting failed: {e}")
+
     def get_dataloader(self, data: dict, batch_size: int) -> DataLoader:
         ds = YOLODataset(
             data["val"], imgsz=self.imgsz, augment=False, nc=data["nc"], max_gt=256,
@@ -183,6 +201,8 @@ class DetectionValidator:
                 self.update_stats(out, batch, i)
         self.metrics = self.get_metrics()
         self.metrics.speed["inference"] = t_infer / max(n_img, 1) * 1e3
+        if args.plots:
+            self._plot_curves()
         res = self.metrics.mean_results()
         LOGGER.info(
             f"val[{self.task}]: {n_img} images  " + "  ".join(f"{v:.3f}" for v in res)

@@ -214,6 +214,7 @@ class DetMetrics:
         results = ap_per_class(np.asarray(tp), np.asarray(conf), np.asarray(pred_cls), np.asarray(target_cls))
         self.box.nc = len(self.names)
         self.box.update(results)
+        self.curves_results = results  # full curves for PR/F1 plots (metrics.py:556)
 
     @property
     def keys(self):

@@ -33,6 +33,45 @@ def create_tracker(tracker: str = "botsort.yaml", frame_rate: int = 30):
     return TRACKER_MAP[cfg.tracker_type](cfg, frame_rate=frame_rate)
 
 
+def _apply_tracker(tr, r):
+    """Update one tracker with one frame's Results (in place)."""
+    if r.boxes is None or len(r.boxes) == 0:
+        tr.update(np.zeros(0), np.zeros((0, 4)), np.zeros(0), r.orig_img)
+        r.track_ids = np.zeros(0, int)
+        return r
+    det = r.boxes.data
+    xywh = np.stack(
+        [(det[:, 0] + det[:, 2]) / 2, (det[:, 1] + det[:, 3]) / 2, det[:, 2] - det[:, 0], det[:, 3] - det[:, 1]],
+        axis=1,
+    )
+    tracks = tr.update(det[:, 4], xywh, det[:, 5], r.orig_img)
+    if len(tracks) == 0:
+        r.track_ids = np.zeros(0, int)
+        return r
+    from spectrogram_yolov11_tpu.engine.results import Boxes
+
+    new = np.concatenate([tracks[:, :4], tracks[:, 5:6], tracks[:, 6:7]], axis=1)
+    r.boxes = Boxes(new, r.orig_shape)
+    r.track_ids = tracks[:, 4].astype(int)
+    return r
+
+
+def track_stream(model, results_iter, persist: bool = False, tracker: str = "botsort.yaml"):
+    """Streaming per-frame tracking over a Results generator (reference
+    trackers/track.py:56 on_predict_postprocess_end: callback-style, not
+    post-hoc — frames are tracked as they arrive, and the tracker resets when
+    the source path changes, mirroring the per-video reset at track.py:70)."""
+    if not persist or not hasattr(model, "_tracker"):
+        model._tracker = create_tracker(tracker)
+        model._track_path = None
+    tr = model._tracker
+    for r in results_iter:
+        if model._track_path is not None and r.path != model._track_path and not persist:
+            tr.reset()
+        model._track_path = r.path
+        yield _apply_tracker(tr, r)
+
+
 def track_results(model, results: List, persist: bool = False, tracker: str = "botsort.yaml") -> List:
     """Run the tracker over a sequence of Results (video frames in order),
     rewriting each frame's boxes as [x1,y1,x2,y2,track_id,conf,cls] rows kept

@@ -165,3 +165,71 @@ def feature_visualization(feats, module_type: str, stage: int, n: int = 32, save
     out = save_dir / f"stage{stage}_{module_type.split('.')[-1]}.png"
     cv2.imwrite(str(out), (canvas * 255).astype(np.uint8))
     return out
+
+
+def plot_mc_curve(x: np.ndarray, y: np.ndarray, names: Dict[int, str], save_dir: Path,
+                  ylabel: str = "F1", fname: Optional[str] = None) -> Path:
+    """Metric-vs-confidence curves per class (reference: metrics.py:583 plot_mc_curve)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(7, 6))
+    for ci in range(y.shape[0]):
+        ax.plot(x, y[ci], label=str(names.get(ci, ci)) if len(names) < 21 else None, linewidth=1)
+    my = y.mean(0)
+    ax.plot(x, my, linewidth=3, color="blue", label=f"all classes {my.max():.2f} at {x[my.argmax()]:.3f}")
+    ax.set_xlabel("Confidence")
+    ax.set_ylabel(ylabel)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(fontsize=7)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    out = save_dir / (fname or f"{ylabel}_curve.png")
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
+
+
+def plot_confusion_matrix(matrix: np.ndarray, names: Dict[int, str], save_dir: Path,
+                          normalize: bool = True) -> Path:
+    """Confusion-matrix heatmap (reference: metrics.py:394 ConfusionMatrix.plot)."""
+    plt = _plt()
+    m = matrix.astype(np.float64)
+    if normalize:
+        m = m / (m.sum(0, keepdims=True) + 1e-9)
+    labels = [names.get(i, str(i)) for i in range(matrix.shape[0] - 1)] + ["background"]
+    fig, ax = plt.subplots(figsize=(8, 7))
+    im = ax.imshow(m, cmap="Blues", vmin=0.0)
+    fig.colorbar(im, ax=ax)
+    ax.set_xticks(range(len(labels)))
+    ax.set_yticks(range(len(labels)))
+    ax.set_xticklabels(labels, rotation=90, fontsize=7)
+    ax.set_yticklabels(labels, fontsize=7)
+    ax.set_xlabel("True")
+    ax.set_ylabel("Predicted")
+    if matrix.shape[0] <= 30:
+        for i in range(m.shape[0]):
+            for j in range(m.shape[1]):
+                if m[i, j] > 0.005:
+                    ax.text(j, i, f"{m[i, j]:.2f}", ha="center", va="center", fontsize=6)
+    fig.tight_layout()
+    save_dir.mkdir(parents=True, exist_ok=True)
+    out = save_dir / ("confusion_matrix_normalized.png" if normalize else "confusion_matrix.png")
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
+
+
+def plot_val_curves(metrics, names: Dict[int, str], save_dir: Path) -> list:
+    """Emit PR/F1/P/R curve PNGs from a DetMetrics-style object holding
+    `curves_results` (the raw ap_per_class dict)."""
+    curves = getattr(metrics, "curves_results", None)
+    if not curves:
+        return []
+    x = np.linspace(0, 1, curves["p_curve"].shape[1])
+    outs = [
+        plot_pr_curve(curves["p_curve"], curves["r_curve"], curves["ap"],
+                      {i: names.get(int(c), int(c)) for i, c in enumerate(curves["unique_classes"])}, save_dir),
+        plot_mc_curve(x, curves["f1_curve"], names, save_dir, "F1"),
+        plot_mc_curve(x, curves["p_curve"], names, save_dir, "Precision", "P_curve.png"),
+        plot_mc_curve(x, curves["r_curve"], names, save_dir, "Recall", "R_curve.png"),
+    ]
+    return outs

@@ -95,3 +95,31 @@ def test_confusion_matrix_counts():
     assert cm.matrix[0, 0] == 1  # correct class 0
     assert cm.matrix[0, 1] == 1  # class 1 GT detected as class 0
     assert cm.matrix[1, 2] == 1  # spurious class-1 detection -> background FP
+
+
+def test_val_plots(tmp_path):
+    """PR/F1 curves + confusion matrix PNGs materialize from a val run
+    (round-1 gap: reduced plotting, reference metrics.py:556, plotting.py:1176)."""
+    import numpy as np
+
+    from spectrogram_yolov11_tpu.ops.metrics import ConfusionMatrix, DetMetrics
+    from spectrogram_yolov11_tpu.utils.plotting import plot_confusion_matrix, plot_results, plot_val_curves
+
+    rng = np.random.default_rng(0)
+    n = 200
+    metrics = DetMetrics(names={0: "LTE", 1: "RF"})
+    metrics.process(
+        rng.random((n, 10)) > 0.5, rng.random(n), rng.integers(0, 2, n), rng.integers(0, 2, 150)
+    )
+    outs = plot_val_curves(metrics, metrics.names, tmp_path)
+    assert len(outs) == 4 and all(p.exists() for p in outs)
+
+    cm = ConfusionMatrix(nc=2)
+    det = np.concatenate([rng.uniform(0, 100, (5, 4)), rng.uniform(0.5, 1, (5, 1)), rng.integers(0, 2, (5, 1))], 1)
+    cm.process_batch(det, rng.uniform(0, 100, (4, 4)), rng.integers(0, 2, 4))
+    assert plot_confusion_matrix(cm.matrix, metrics.names, tmp_path).exists()
+
+    csv = tmp_path / "results.csv"
+    csv.write_text("epoch,train/box_loss,metrics/mAP50(B)\n0,1.5,0.2\n1,1.2,0.4\n2,1.0,0.5\n")
+    out = plot_results(csv, tmp_path)
+    assert out is not None and out.exists()

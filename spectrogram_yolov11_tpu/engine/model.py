@@ -147,6 +147,8 @@ class YOLO:
         cls = {"classify": ClassificationPredictor, "segment": SegmentationPredictor, "pose": PosePredictor, "obb": OBBPredictor}.get(self.task, BasePredictor)
         if self.task == "rtdetr":
             from spectrogram_yolov11_tpu.models.rtdetr import RTDETRPredictor as cls  # noqa: F811
+        elif getattr(self, "_fastsam", False):
+            from spectrogram_yolov11_tpu.models.fastsam import FastSAMPredictor as cls  # noqa: F811
         overrides = {k: v for k, v in {**self.overrides, **kwargs}.items() if k not in {"model", "task", "mode"}}
         self.predictor = cls(self.model, self.variables, overrides=overrides)
         return self.predictor(source, stream=stream, batch_size=kwargs.get("batch", 1))

@@ -189,6 +189,19 @@ class Results(SimpleClass):
                 return len(k)
         return 0
 
+    def __getitem__(self, i):
+        """Row-select detections (reference Results.__getitem__): i may be an
+        int, slice, or boolean/index array over the detection axis."""
+        return Results(
+            self.orig_img, self.path, self.names,
+            boxes=self.boxes.data[i].reshape(-1, self.boxes.data.shape[-1]) if self.boxes is not None else None,
+            masks=self.masks.data[i].reshape((-1,) + self.masks.data.shape[1:]) if self.masks is not None else None,
+            probs=self.probs.data if self.probs is not None else None,
+            keypoints=self.keypoints.data[i].reshape((-1,) + self.keypoints.data.shape[1:]) if self.keypoints is not None else None,
+            obb=self.obb.data[i].reshape(-1, self.obb.data.shape[-1]) if self.obb is not None else None,
+            speed=self.speed,
+        )
+
     def plot(self, line_width: Optional[int] = None, font_scale: float = 0.5, show_conf: bool = True) -> np.ndarray:
         """Draw detections on a copy of the original (BGR) image."""
         img = self.orig_img.copy()

@@ -177,7 +177,8 @@ class LayerNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        w = self.param("weight", nn.initializers.ones, (self.num_channels,), jnp.float32)
+        # params named scale/bias: torch 1-d `weight` translates to `scale`
+        w = self.param("scale", nn.initializers.ones, (self.num_channels,), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.num_channels,), jnp.float32)
         u = x.mean(-1, keepdims=True)
         s = ((x - u) ** 2).mean(-1, keepdims=True)

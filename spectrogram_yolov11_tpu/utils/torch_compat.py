@@ -78,9 +78,13 @@ def torch_state_to_variables(
         ):
             path.insert(1, "detect")
 
-        # nn.Embedding tables (RT-DETR denoising/tgt embeds): keep (num, dim)
-        # untransposed; our modules declare them as a direct leaf param
-        if leaf == "weight" and len(path) >= 2 and path[-2] in {"denoising_class_embed", "tgt_embed"}:
+        # nn.Embedding tables (RT-DETR denoising/tgt embeds, SAM tokens): keep
+        # (num, dim) untransposed; our modules declare them as direct leaf params
+        _EMBEDS = {"denoising_class_embed", "tgt_embed", "not_a_point_embed", "no_mask_embed",
+                   "iou_token", "mask_tokens", "obj_ptr_tokens"}
+        if leaf == "weight" and len(path) >= 2 and (
+            path[-2] in _EMBEDS or path[-2].startswith("point_embeddings")
+        ):
             _set(params, tuple(path[:-1]), val)
             continue
 

@@ -1,0 +1,49 @@
+"""FastSAM + NAS thin families (reference models/fastsam/, models/nas/)."""
+
+import numpy as np
+import pytest
+
+from spectrogram_yolov11_tpu.models.fastsam import FastSAM, FastSAMPredictor, adjust_bboxes_to_image_border
+from spectrogram_yolov11_tpu.models.nas import NAS
+
+
+def test_adjust_bboxes_to_border():
+    boxes = np.array([[5.0, 10, 90, 150], [30, 30, 60, 60]], np.float32)
+    out = adjust_bboxes_to_image_border(boxes, (160, 100), threshold=20)
+    np.testing.assert_allclose(out[0], [0, 0, 100, 160])
+    np.testing.assert_allclose(out[1], boxes[1])
+
+
+def test_fastsam_everything_and_prompts():
+    m = FastSAM("fastsam-s.yaml")
+    assert m.task == "segment" and m.model.nc == 1
+    img = np.zeros((160, 160, 3), np.uint8)
+    img[40:120, 40:120] = 255
+    results = m.predict(img, imgsz=160, conf=0.0, max_det=8)
+    assert len(results) == 1
+    # prompt machinery runs over whatever (random-weight) masks exist
+    pred = m.predictor
+    assert isinstance(pred, FastSAMPredictor)
+    r = results[0]
+    if len(r) and r.masks is not None:
+        sel = pred.prompt([r], points=[[80, 80]])
+        assert isinstance(sel, list) and len(sel) == 1
+
+
+def test_nas_surface():
+    with pytest.raises(AssertionError):
+        NAS("yolo_nas_s.yaml")
+    with pytest.raises(NotImplementedError):
+        NAS("yolo_nas_s.pt")
+
+
+def test_nas_wraps_ckpt(tmp_path):
+    from spectrogram_yolov11_tpu.engine.model import YOLO
+
+    y = YOLO("yolo11n.yaml")
+    p = tmp_path / "det.ckpt"
+    y.save(p)
+    m = NAS(str(p))
+    assert m.task == "detect"
+    r = m.predict(np.zeros((96, 96, 3), np.uint8), imgsz=96)
+    assert len(r) == 1

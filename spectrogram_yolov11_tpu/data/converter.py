@@ -144,3 +144,50 @@ def masks2polygons(masks: np.ndarray, epsilon: float = 2.0) -> List[np.ndarray]:
         else:
             out.append(np.zeros((0, 2), np.float32))
     return out
+
+
+def yolo_bbox2segment(im_dir, save_dir=None, sam_model: str = "vit_b") -> Optional[Path]:
+    """Convert a detection dataset to segmentation labels via SAM box prompts
+    (reference: data/converter.py:582).
+
+    For each image's YOLO-format box labels, prompts our SAM predictor with
+    the boxes and writes polygon labels to `labels-segment/` next to `im_dir`.
+    NOTE: without converted pretrained SAM weights the masks are
+    random-quality; the machinery (prompting, polygonization, label IO) is
+    the component under test.
+    """
+    from spectrogram_yolov11_tpu.data.dataset import IMG_FORMATS, img2label_path
+    from spectrogram_yolov11_tpu.models.sam import SAMPredictor
+    from spectrogram_yolov11_tpu.utils import TQDM
+
+    im_dir = Path(im_dir)
+    images = sorted(f for f in im_dir.rglob("*") if f.suffix[1:].lower() in IMG_FORMATS)
+    if not images:
+        LOGGER.warning(f"no images under {im_dir}")
+        return None
+    predictor = SAMPredictor(variant=sam_model, img_size=256)
+    save_dir = Path(save_dir) if save_dir else im_dir.parent / "labels-segment"
+    save_dir.mkdir(parents=True, exist_ok=True)
+    for im_file in TQDM(images, desc="bbox2segment"):
+        lb_file = Path(img2label_path(str(im_file)))
+        if not lb_file.exists():
+            continue
+        rows = [r.split() for r in lb_file.read_text().splitlines() if r.strip()]
+        if not rows or len(rows[0]) > 5:
+            continue  # empty or already segment-format
+        img = cv2.imread(str(im_file))
+        h, w = img.shape[:2]
+        predictor.set_image(img)
+        lines = []
+        for r in rows:
+            cls = int(r[0])
+            cx, cy, bw, bh = (float(v) for v in r[1:5])
+            box = [(cx - bw / 2) * w, (cy - bh / 2) * h, (cx + bw / 2) * w, (cy + bh / 2) * h]
+            masks, _ = predictor.prompt(boxes=box)
+            polys = masks2polygons(masks[0].astype(np.uint8))
+            if polys and len(polys[0]):
+                p = polys[0] / np.asarray([w, h], np.float32)
+                lines.append(f"{cls} " + " ".join(f"{v:.6g}" for v in p.reshape(-1)))
+        (save_dir / lb_file.name).write_text("\n".join(lines))
+    LOGGER.info(f"segment labels written to {save_dir}")
+    return save_dir

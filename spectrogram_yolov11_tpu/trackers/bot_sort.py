@@ -18,13 +18,30 @@ from .utils.kalman_filter import KalmanFilterXYWH
 
 
 class GMC:
-    """Global motion compensation via sparse optical flow (reference: gmc.py)."""
+    """Global motion compensation (reference: trackers/utils/gmc.py:11).
+
+    All four reference methods: 'sparseOptFlow' (default), 'orb', 'sift'
+    (feature match + RANSAC affine), and 'ecc' (intensity-based
+    findTransformECC), plus 'none'.
+    """
 
     def __init__(self, method: str = "sparseOptFlow", downscale: int = 2):
         self.method = method
         self.downscale = max(1, int(downscale))
         self.prev_gray: Optional[np.ndarray] = None
         self.prev_pts: Optional[np.ndarray] = None
+        self.prev_kps = None
+        self.prev_desc = None
+        if method == "orb":
+            self.detector = cv2.FastFeatureDetector_create(20)
+            self.extractor = cv2.ORB_create()
+            self.matcher = cv2.BFMatcher(cv2.NORM_HAMMING)
+        elif method == "sift":
+            self.detector = cv2.SIFT_create(nOctaveLayers=3, contrastThreshold=0.02, edgeThreshold=20)
+            self.extractor = self.detector
+            self.matcher = cv2.BFMatcher(cv2.NORM_L2)
+        elif method not in {"sparseOptFlow", "ecc", "none", None}:
+            raise ValueError(f"unknown GMC method '{method}' (want orb|sift|ecc|sparseOptFlow|none)")
 
     def apply(self, frame: np.ndarray, dets=None) -> np.ndarray:
         if self.method in {"none", None} or frame is None:
@@ -32,6 +49,20 @@ class GMC:
         gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
         if self.downscale > 1:
             gray = cv2.resize(gray, (gray.shape[1] // self.downscale, gray.shape[0] // self.downscale))
+        if self.method == "ecc":
+            return self._apply_ecc(gray)
+        if self.method in {"orb", "sift"}:
+            return self._apply_features(gray)
+        return self._apply_sparseflow(gray)
+
+    def _scale_translation(self, H: np.ndarray) -> np.ndarray:
+        if self.downscale > 1:
+            H = H.copy()
+            H[0, 2] *= self.downscale
+            H[1, 2] *= self.downscale
+        return H
+
+    def _apply_sparseflow(self, gray: np.ndarray) -> np.ndarray:
         H = np.eye(2, 3)
         pts = cv2.goodFeaturesToTrack(gray, maxCorners=200, qualityLevel=0.01, minDistance=10)
         if self.prev_gray is not None and self.prev_pts is not None and len(self.prev_pts) >= 4:
@@ -42,17 +73,48 @@ class GMC:
                 if len(good_prev) >= 4:
                     M, _ = cv2.estimateAffinePartial2D(good_prev, good_next, method=cv2.RANSAC)
                     if M is not None:
-                        H = M
-                        if self.downscale > 1:
-                            H[0, 2] *= self.downscale
-                            H[1, 2] *= self.downscale
+                        H = self._scale_translation(M)
         self.prev_gray = gray
         self.prev_pts = pts
+        return H
+
+    def _apply_ecc(self, gray: np.ndarray) -> np.ndarray:
+        """Intensity-based ECC alignment (reference gmc.py applyEcc)."""
+        H = np.eye(2, 3, dtype=np.float32)
+        if self.prev_gray is not None:
+            criteria = (cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 100, 1e-5)
+            try:
+                _, M = cv2.findTransformECC(self.prev_gray, gray, H, cv2.MOTION_EUCLIDEAN, criteria, None, 1)
+                H = self._scale_translation(M)
+            except cv2.error:
+                pass  # ECC failed to converge — identity (reference warns and continues)
+        self.prev_gray = gray
+        return np.asarray(H, np.float64)
+
+    def _apply_features(self, gray: np.ndarray) -> np.ndarray:
+        """ORB/SIFT keypoint matching + RANSAC (reference gmc.py applyFeatures)."""
+        H = np.eye(2, 3)
+        kps = self.detector.detect(gray, None)
+        kps, desc = self.extractor.compute(gray, kps)
+        if (self.prev_gray is not None and self.prev_desc is not None and desc is not None
+                and len(self.prev_desc) >= 2 and len(desc) >= 2):
+            knn = self.matcher.knnMatch(self.prev_desc, desc, k=2)
+            good = [m for m, n in (p for p in knn if len(p) == 2) if m.distance < 0.75 * n.distance]
+            if len(good) >= 4:
+                prev_pts = np.float32([self.prev_kps[m.queryIdx].pt for m in good])
+                curr_pts = np.float32([kps[m.trainIdx].pt for m in good])
+                M, _ = cv2.estimateAffinePartial2D(prev_pts, curr_pts, method=cv2.RANSAC)
+                if M is not None:
+                    H = self._scale_translation(M)
+        self.prev_gray = gray
+        self.prev_kps, self.prev_desc = kps, desc
         return H
 
     def reset_params(self):
         self.prev_gray = None
         self.prev_pts = None
+        self.prev_kps = None
+        self.prev_desc = None
 
 
 class BOTrack(STrack):

@@ -47,3 +47,31 @@ def test_nas_wraps_ckpt(tmp_path):
     assert m.task == "detect"
     r = m.predict(np.zeros((96, 96, 3), np.uint8), imgsz=96)
     assert len(r) == 1
+
+
+@pytest.mark.slow
+def test_bbox2segment_and_auto_annotate(tmp_path):
+    """SAM-powered converter + annotator write valid polygon labels
+    (reference converter.py:582, annotator.py:8)."""
+    import cv2
+
+    from spectrogram_yolov11_tpu.data.annotator import auto_annotate
+    from spectrogram_yolov11_tpu.data.converter import yolo_bbox2segment
+
+    imd = tmp_path / "images"
+    lbd = tmp_path / "labels"
+    imd.mkdir()
+    lbd.mkdir()
+    img = np.zeros((160, 160, 3), np.uint8)
+    img[40:120, 50:110] = 200
+    cv2.imwrite(str(imd / "a.jpg"), img)
+    (lbd / "a.txt").write_text("0 0.5 0.5 0.4 0.5\n")
+    out = yolo_bbox2segment(imd)
+    assert out is not None and (out / "a.txt").exists()
+    txt = (out / "a.txt").read_text().strip()
+    if txt:  # random SAM weights may produce empty polygons; format must hold
+        parts = txt.split()
+        assert int(parts[0]) == 0 and (len(parts) - 1) % 2 == 0
+
+    out2 = auto_annotate(imd, det_model="yolo11n.yaml", conf=0.0, imgsz=160, max_det=4)
+    assert out2.exists() and (out2 / "a.txt").exists()

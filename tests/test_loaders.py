@@ -89,3 +89,22 @@ def test_streaming_track_keeps_ids(synth_video):
     assert n == 6  # streamed frame-by-frame
     # untrained weights: detections are arbitrary but the plumbing must run
     assert isinstance(ids_seen, list)
+
+
+def test_gmc_all_methods():
+    """GMC supports the four reference methods (reference gmc.py:11)."""
+    from spectrogram_yolov11_tpu.trackers.bot_sort import GMC
+
+    rng = np.random.default_rng(0)
+    base = (rng.uniform(0, 255, (120, 160, 3))).astype(np.uint8)
+    base = cv2.GaussianBlur(base, (7, 7), 2)
+    shifted = np.roll(base, shift=(4, 6), axis=(0, 1))
+    for method in ("sparseOptFlow", "orb", "sift", "ecc", "none"):
+        g = GMC(method=method, downscale=1)
+        H0 = g.apply(base)
+        H1 = g.apply(shifted)
+        assert H0.shape == (2, 3) and H1.shape == (2, 3)
+        assert np.all(np.isfinite(H1))
+        g.reset_params()
+    with pytest.raises(ValueError):
+        GMC(method="bogus")

@@ -29,8 +29,11 @@ def test_model_yaml_builds_and_forwards(yaml_path):
         d["scale"] = "l"
     m = build_model(d, verbose=False)
     x = jnp.zeros((1, 128, 128, 3))
-    vs = jax.eval_shape(lambda: m.graph.init(jax.random.PRNGKey(0), x, train=False))
-    out = jax.eval_shape(lambda v: m.graph.apply(v, x, train=False), vs)
+    kw = {}
+    if m.task == "world":  # text guidance is a second graph input
+        kw["txt_feats"] = jnp.zeros((1, m.nc, 512))
+    vs = jax.eval_shape(lambda: m.graph.init(jax.random.PRNGKey(0), x, train=False, **kw))
+    out = jax.eval_shape(lambda v: m.graph.apply(v, x, train=False, **kw), vs)
     assert out is not None
 
 

@@ -1,0 +1,229 @@
+"""SAM2 parity vs the torch reference + image/video smoke.
+
+Reference: models/sam/modules/{utils.py:82 compute_axial_cis / :104
+apply_rotary_enc; blocks.py:405 RoPEAttention, :583 MultiScaleBlock, :698
+PositionEmbeddingSine; encoders.py:378 MemoryEncoder, :645 Hiera;
+memory_attention.py:140 MemoryAttention; sam.py:105 SAM2Model}.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spectrogram_yolov11_tpu.models.sam2 import (
+    SAM2Model,
+    SAM2Predictor,
+    SAM2VideoPredictor,
+    ImageEncoder,
+    MemoryAttention,
+    MemoryEncoder,
+    MultiScaleBlock,
+    apply_rope,
+    axial_rope_cos_sin,
+    get_1d_sine_pe,
+    sine_pos_embed_2d,
+)
+from spectrogram_yolov11_tpu.utils.torch_compat import load_state_into_variables, torch_state_to_variables
+
+torch = pytest.importorskip("torch")
+
+
+def _load_ref():
+    from oracle import load_reference
+
+    load_reference()
+
+
+def _convert(tmodule, v):
+    state = {k: p.detach().numpy() for k, p in tmodule.state_dict().items()}
+    return load_state_into_variables(dict(v), torch_state_to_variables(state), strict=True)
+
+
+# ---------------------------------------------------------------------------
+# pure-function parity
+# ---------------------------------------------------------------------------
+
+
+def test_rope_parity():
+    """Real-valued (cos, sin) rotation == reference complex rotation
+    (utils.py:82,104), incl. the repeat_freqs_k cross-attention path."""
+    _load_ref()
+    from ultralytics.models.sam.modules.utils import apply_rotary_enc, compute_axial_cis
+
+    hd, ex, ey, r = 32, 4, 4, 3
+    n = ex * ey
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(2, 2, n, hd)).astype(np.float32)
+    k = rng.normal(size=(2, 2, n * r, hd)).astype(np.float32)
+
+    fc = compute_axial_cis(dim=hd, end_x=ex, end_y=ey)
+    tq, tk = apply_rotary_enc(torch.from_numpy(q), torch.from_numpy(k), fc, repeat_freqs_k=True)
+
+    cos, sin = axial_rope_cos_sin(hd, ex, ey)
+    jq = apply_rope(jnp.asarray(q), cos, sin)
+    jk = apply_rope(jnp.asarray(k), jnp.tile(cos, (r, 1)), jnp.tile(sin, (r, 1)))
+    np.testing.assert_allclose(np.asarray(jq), tq.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jk), tk.numpy(), atol=1e-5)
+
+
+def test_sine_pos_embeds_parity():
+    """2D sine map == PositionEmbeddingSine.forward; 1D == get_1d_sine_pe."""
+    _load_ref()
+    from ultralytics.models.sam.modules.blocks import PositionEmbeddingSine
+    from ultralytics.models.sam.modules.utils import get_1d_sine_pe as t_pe1d
+
+    pe = PositionEmbeddingSine(num_pos_feats=64)
+    ref = pe(torch.zeros(1, 3, 8, 10)).numpy()[0].transpose(1, 2, 0)  # BCHW -> HWC
+    ours = np.asarray(sine_pos_embed_2d(8, 10, 64))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    pos = np.array([0.0, 0.25, 1.0], np.float32)
+    ref1 = t_pe1d(torch.from_numpy(pos), dim=64).numpy()
+    np.testing.assert_allclose(np.asarray(get_1d_sine_pe(jnp.asarray(pos), 64)), ref1, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# module parity on converted weights
+# ---------------------------------------------------------------------------
+
+
+def test_memory_encoder_parity():
+    _load_ref()
+    from ultralytics.models.sam.modules.encoders import MemoryEncoder as TMemEnc
+
+    torch.manual_seed(0)
+    tm = TMemEnc(out_dim=64)
+    tm.eval()
+    jm = MemoryEncoder(64, 256)
+
+    rng = np.random.default_rng(1)
+    pix = rng.normal(size=(1, 8, 8, 256)).astype(np.float32)
+    mask = rng.normal(size=(1, 128, 128, 1)).astype(np.float32)
+    v = jm.init(jax.random.PRNGKey(0), jnp.asarray(pix), jnp.asarray(mask))
+    v = _convert(tm, v)
+
+    feats, pos = jm.apply(v, jnp.asarray(pix), jnp.asarray(mask))
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(pix.transpose(0, 3, 1, 2)), torch.from_numpy(mask.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(feats), ref["vision_features"].numpy().transpose(0, 2, 3, 1), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(pos), ref["vision_pos_enc"][0].numpy()[0].transpose(1, 2, 0), atol=1e-5)
+
+
+def test_memory_attention_parity():
+    """Full memory-attention stack on converted weights, incl. object-pointer
+    tokens excluded from RoPE (memory_attention.py:140)."""
+    _load_ref()
+    from ultralytics.models.sam.modules.memory_attention import (
+        MemoryAttention as TMemAttn,
+        MemoryAttentionLayer as TLayer,
+    )
+
+    torch.manual_seed(0)
+    tm = TMemAttn(d_model=256, pos_enc_at_input=True, layer=TLayer(), num_layers=2)
+    tm.eval()
+    jm = MemoryAttention(256, 2)
+
+    n, r, nptr = 64, 3, 4  # 8x8 grid, 3 memory frames, 4 pointer tokens
+    rng = np.random.default_rng(2)
+    curr = rng.normal(size=(1, n, 256)).astype(np.float32)
+    curr_pos = rng.normal(size=(1, n, 256)).astype(np.float32)
+    mem = rng.normal(size=(1, n * r + nptr, 64)).astype(np.float32)
+    mem_pos = rng.normal(size=(1, n * r + nptr, 64)).astype(np.float32)
+
+    v = jm.init(jax.random.PRNGKey(0), jnp.asarray(curr), jnp.asarray(mem), jnp.asarray(curr_pos),
+                jnp.asarray(mem_pos), feat_size=(8, 8), num_obj_ptr_tokens=nptr)
+    v = _convert(tm, v)
+    ours = jm.apply(v, jnp.asarray(curr), jnp.asarray(mem), jnp.asarray(curr_pos), jnp.asarray(mem_pos),
+                    feat_size=(8, 8), num_obj_ptr_tokens=nptr)
+    with torch.no_grad():
+        # reference runs seq-first and transposes internally (batch_first=True)
+        ref = tm(
+            torch.from_numpy(curr.transpose(1, 0, 2)),
+            torch.from_numpy(mem.transpose(1, 0, 2)),
+            curr_pos=torch.from_numpy(curr_pos.transpose(1, 0, 2)),
+            memory_pos=torch.from_numpy(mem_pos.transpose(1, 0, 2)),
+            num_obj_ptr_tokens=nptr,
+        ).numpy().transpose(1, 0, 2)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4)
+
+
+def test_multiscale_block_parity():
+    """Hiera block with q-pool + dim change + windowing (blocks.py:583)."""
+    _load_ref()
+    from ultralytics.models.sam.modules.blocks import MultiScaleBlock as TBlock
+
+    torch.manual_seed(0)
+    tm = TBlock(dim=32, dim_out=64, num_heads=2, q_stride=(2, 2), window_size=4)
+    tm.eval()
+    jm = MultiScaleBlock(dim=32, dim_out=64, num_heads=2, q_stride=(2, 2), window_size=4)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 16, 16, 32)).astype(np.float32)
+    v = jm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    v = _convert(tm, v)
+    ours = jm.apply(v, jnp.asarray(x))
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()  # Hiera blocks are already BHWC
+    assert ours.shape == ref.shape == (1, 8, 8, 64)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end structure
+# ---------------------------------------------------------------------------
+
+
+def test_hiera_encoder_shapes():
+    enc = ImageEncoder()  # sam2_t geometry
+    x = jnp.zeros((1, 128, 128, 3))
+    v = enc.init(jax.random.PRNGKey(0), x)
+    feats, pos = enc.apply(v, x)
+    assert [f.shape for f in feats] == [(1, 32, 32, 256), (1, 16, 16, 256), (1, 8, 8, 256)]
+    assert [p.shape for p in pos] == [(32, 32, 256), (16, 16, 256), (8, 8, 256)]
+    assert all(bool(jnp.isfinite(f).all()) for f in feats)
+
+
+@pytest.mark.slow
+def test_sam2_image_predictor():
+    import cv2
+
+    img = np.full((96, 120, 3), 60, np.uint8)
+    cv2.rectangle(img, (40, 30), (80, 70), (250, 240, 230), -1)
+    p = SAM2Predictor(img_size=128)
+    p.set_image(img)
+    masks, ious = p.prompt(points=[[60, 50]])
+    assert masks.shape == (1, 3, 96, 120) and ious.shape == (1, 3)
+    assert np.isfinite(ious).all()
+
+
+@pytest.mark.slow
+def test_sam2_video_propagation():
+    """3-frame stream with a moving square: the bank fills, scores stay finite,
+    and the fixed-shape track program is reused across frames (no recompile)."""
+    import cv2
+
+    frames = []
+    for t in range(3):
+        f = np.full((128, 128, 3), 50, np.uint8)
+        x0 = 30 + 10 * t
+        cv2.rectangle(f, (x0, 40), (x0 + 40, 80), (245, 235, 225), -1)
+        frames.append(f)
+
+    vp = SAM2VideoPredictor(img_size=128)
+    mask0, score0 = vp.add_new_points(frames[0], points=[[50, 60]])
+    assert mask0.shape == (1, 128, 128) and np.isfinite(score0)
+    assert int(np.asarray(vp._bank["mem_valid"]).sum()) == 1
+
+    mask1, score1 = vp.propagate(frames[1])
+    mask2, score2 = vp.propagate(frames[2])
+    assert mask1.shape == mask2.shape == (1, 128, 128)
+    assert np.isfinite([score1, score2]).all()
+    # cond slot + two FIFO entries
+    assert int(np.asarray(vp._bank["mem_valid"]).sum()) == 3
+    assert int(np.asarray(vp._bank["obj_ptr_valid"]).sum()) == 3
+    # one compiled track program served both frames
+    assert vp._jit_track._cache_size() == 1

@@ -7,10 +7,10 @@ REAttention, :813 PositionEmbeddingRandom, :1073 PatchEmbed;
 modules/decoders.py:11 MaskDecoder; modules/transformer.py:12
 TwoWayTransformer; predict.py:37 Predictor; model.py SAM facade).
 
-Scope this round (per the round-1 verdict): the SAM1 image pipeline —
-encoder, prompt/mask decoder, point/box prompting — with parity tests
-against the torch reference on converted weights. SAM2 video memory
-attention / Hiera are a later round.
+Scope: the SAM1 image pipeline — encoder, prompt/mask decoder, point/box
+prompting, and segment-everything generate() — with parity tests against the
+torch reference on converted weights. SAM2 (Hiera + memory attention + video)
+lives in models/sam2.py.
 
 TPU-first notes:
 - NHWC everywhere; the decoder's token<->map reshapes are plain reshapes;
@@ -594,6 +594,102 @@ class SAMPredictor:
         m = m[:, :, :nh, :nw]
         m = jax.image.resize(m, (*masks.shape[:2], h0, w0), method="bilinear")
         return np.asarray(m > 0.0), np.asarray(iou)
+
+    def generate(self, bgr, crop_n_layers: int = 0, crop_overlap_ratio: float = 512 / 1500,
+                      crop_downscale_factor: int = 1, point_grids=None, points_stride: int = 32,
+                      points_batch_size: int = 64, conf_thres: float = 0.88,
+                      stability_score_thresh: float = 0.95, stability_score_offset: float = 0.95,
+                      iou_thres: float = 0.7, crop_nms_thresh: float = 0.7):
+        """Segment everything: grid-prompt the whole image (+ optional crop layers)
+        and keep confident, stable, deduplicated masks (reference predict.py:297).
+
+        TPU-first: all prompt batches run through ONE jitted fixed-shape program
+        (points_batch_size prompts at a time, each a single click + pad point);
+        the variable-length filtering/NMS runs host-side in models/amg.py.
+
+        Returns (masks (N, S, S) bool at model resolution, scores (N,),
+        boxes (N, 4) xyxy at model resolution).
+        """
+        import cv2
+
+        from spectrogram_yolov11_tpu.models import amg
+
+        S = self.img_size
+        im = cv2.resize(bgr, (S, S), interpolation=cv2.INTER_LINEAR)  # square, like reference preprocess
+        crop_regions, layer_idxs = amg.generate_crop_boxes((S, S), crop_n_layers, crop_overlap_ratio)
+        if point_grids is None:
+            point_grids = amg.build_all_layer_point_grids(points_stride, crop_n_layers, crop_downscale_factor)
+
+        if not hasattr(self, "_gen_fn"):
+            pe_dim = self.model.prompt_embed_dim
+            pe = PromptEncoder(pe_dim, (S // 16,) * 2, (S,) * 2, 16)
+            dec = MaskDecoder(pe_dim)
+
+            def gen_fn(params, emb, pts, lab):
+                sparse, dense = pe.apply({"params": params["prompt_encoder"]}, points=pts, labels=lab,
+                                         batch=pts.shape[0])
+                image_pe = pe.apply({"params": params["prompt_encoder"]}, method=PromptEncoder.get_dense_pe)
+                return dec.apply({"params": params["mask_decoder"]}, emb, image_pe, sparse, dense,
+                                 multimask_output=True)
+
+            self._gen_fn = jax.jit(gen_fn)
+
+        all_masks, all_scores, all_boxes, region_areas = [], [], [], []
+        for crop_box, layer_idx in zip(crop_regions, layer_idxs):
+            x0, y0, x1, y1 = crop_box
+            w, h = x1 - x0, y1 - y0
+            crop = cv2.resize(im[y0:y1, x0:x1], (S, S), interpolation=cv2.INTER_LINEAR)
+            self.set_image(crop)
+            emb = self._image_state[0]
+            pts_for_image = point_grids[layer_idx] * np.array([[w, h]], np.float32)  # crop coords
+            pts_model = point_grids[layer_idx] * S  # the crop is resized to S x S
+
+            crop_masks, crop_scores = [], []
+            P = points_batch_size
+            for (pts,) in amg.batch_iterator(P, pts_model):
+                n = len(pts)
+                if n < P:  # pad the final slice to the static batch
+                    pts = np.concatenate([pts, np.zeros((P - n, 2), np.float32)])
+                batch_pts = np.concatenate([pts[:, None], np.zeros((P, 1, 2), np.float32)], axis=1)
+                batch_lab = np.concatenate([np.ones((P, 1), np.int32), -np.ones((P, 1), np.int32)], axis=1)
+                masks, ious = self._gen_fn(self.variables["params"], emb,
+                                           jnp.asarray(batch_pts), jnp.asarray(batch_lab))
+                masks = np.asarray(masks[:n]).reshape(-1, masks.shape[-2], masks.shape[-1])
+                ious = np.asarray(ious[:n]).reshape(-1)
+                keep = ious > conf_thres
+                masks, ious = masks[keep], ious[keep]
+                stab = amg.calculate_stability_score(masks, 0.0, stability_score_offset)
+                keep = stab > stability_score_thresh
+                crop_masks.append(masks[keep] > 0.0)
+                crop_scores.append(ious[keep])
+
+            masks = np.concatenate(crop_masks) if crop_masks else np.zeros((0, S // 4, S // 4), bool)
+            scores = np.concatenate(crop_scores) if crop_scores else np.zeros((0,), np.float32)
+            # boxes live at crop resolution: mask grid (S/4) -> crop pixels
+            boxes = amg.batched_mask_to_box(masks) * (np.array([w, h, w, h], np.float32) / (S / 4))
+            edge = amg.is_box_near_crop_edge(boxes, crop_box, [0, 0, S, S])
+            if edge.any() and len(crop_regions) > 1:
+                masks, scores, boxes = masks[~edge], scores[~edge], boxes[~edge]
+            if len(scores):
+                keep = amg.greedy_nms(boxes, scores, iou_thres)
+                masks, scores, boxes = masks[keep], scores[keep], boxes[keep]
+            # uncrop to model-resolution full-image frame
+            up = np.zeros((len(masks), S, S), bool)
+            for i, m in enumerate(masks):
+                up[i, y0:y1, x0:x1] = cv2.resize(m.astype(np.uint8), (w, h),
+                                                 interpolation=cv2.INTER_NEAREST).astype(bool)
+            all_masks.append(up)
+            all_scores.append(scores)
+            all_boxes.append(amg.uncrop_boxes_xyxy(boxes, crop_box))
+            region_areas.append(np.full(len(scores), w * h, np.float32))
+
+        masks = np.concatenate(all_masks)
+        scores = np.concatenate(all_scores)
+        boxes = np.concatenate(all_boxes)
+        if len(crop_regions) > 1 and len(scores):
+            keep = amg.greedy_nms(boxes, 1.0 / np.concatenate(region_areas), crop_nms_thresh)
+            masks, scores, boxes = masks[keep], scores[keep], boxes[keep]
+        return masks, scores, boxes
 
 
 class SAM:

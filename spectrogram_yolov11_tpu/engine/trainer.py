@@ -17,7 +17,10 @@ models/yolo/detect/train.py:19) redesigned TPU-first:
 
 Known deviations (documented): the warmup-ramped accumulate count is fixed at
 round(nbs/batch) from step 0 (a ramp would change the jitted graph shape);
-multi_scale uses a small static set of sizes (recompile per size) when on.
+multi_scale (detect task) draws from the static ladder
+{0.5, 0.75, 1.0, 1.25, 1.5} x imgsz snapped to /32 — one XLA program per size —
+instead of the reference's any-multiple-of-32 uniform draw (train.py:19
+preprocess_batch), which would compile tens of programs for no accuracy gain.
 """
 
 from __future__ import annotations
@@ -47,6 +50,20 @@ from spectrogram_yolov11_tpu.ops.losses import detection_loss
 from spectrogram_yolov11_tpu.parallel.mesh import get_mesh, replicate_state, shard_batch
 from spectrogram_yolov11_tpu.utils import DEFAULT_CFG, LOGGER, TQDM, colorstr, init_seeds
 from spectrogram_yolov11_tpu.utils.callbacks import default_callbacks, run_callbacks
+
+
+def _resize_uint8_batch(imgs: np.ndarray, size: int) -> np.ndarray:
+    """Host-side bilinear resize of a (B, S, S, 3) uint8 batch to (B, size, size, 3).
+
+    Multi-scale counterpart of the reference's on-GPU F.interpolate
+    (models/yolo/detect/train.py:19 preprocess_batch); labels are normalized
+    xywh so only the pixels move."""
+    import cv2
+
+    out = np.empty((imgs.shape[0], size, size, imgs.shape[3]), np.uint8)
+    for i, im in enumerate(imgs):
+        cv2.resize(im, (size, size), dst=out[i], interpolation=cv2.INTER_LINEAR)
+    return out
 
 
 class EarlyStopping:
@@ -137,7 +154,10 @@ class BaseTrainer:
     def compute_loss(self, feats, batch):
         """Task criterion over raw head output (overridden per task)."""
         kw = dict(
-            nc=self.data["nc"], imgsz=self.imgsz, strides=tuple(float(s) for s in self.model.stride),
+            # imgsz from the (static) batch shape, not self.imgsz: multi-scale
+            # batches arrive at ladder sizes and each size is its own program
+            nc=self.data["nc"], imgsz=batch["img"].shape[1],
+            strides=tuple(float(s) for s in self.model.stride),
             hyp_box=float(self.args.box), hyp_cls=float(self.args.cls), hyp_dfl=float(self.args.dfl),
         )
         if isinstance(feats, dict):  # end2end (v10) head: dual one2many/one2one
@@ -277,6 +297,11 @@ class BaseTrainer:
             LOGGER.info(f"jax.profiler trace -> {trace_dir}")
             jax.profiler.start_trace(trace_dir)
         run_callbacks(self.callbacks, "on_train_start", self)
+        ms_sizes, ms_rng = None, None
+        if self.args.multi_scale and self.task == "detect":
+            ms_sizes = sorted({max(32, int(round(self.imgsz * f / 32)) * 32) for f in (0.5, 0.75, 1.0, 1.25, 1.5)})
+            ms_rng = np.random.default_rng(self.args.seed + 1234)
+            LOGGER.info(f"Multi-scale training over {ms_sizes} (one XLA program per size)")
         t_start = time.time()
         stop = False
         LOGGER.info(
@@ -298,6 +323,10 @@ class BaseTrainer:
                 ni = i + nb * epoch
                 if self.args.plots and ni < 3:
                     self._plot_train_batch(batch, ni)
+                if ms_sizes is not None:
+                    sz = int(ms_rng.choice(ms_sizes))
+                    if sz != batch["img"].shape[1]:
+                        batch = {**batch, "img": _resize_uint8_batch(batch["img"], sz)}
                 batch_dev = shard_batch({k: v for k, v in batch.items() if k in train_keys}, mesh)
                 state, loss, items = step_fn(state, batch_dev, jnp.asarray(ni, jnp.int32))
                 mloss = (mloss * i + np.asarray(items)) / (i + 1)

@@ -483,7 +483,25 @@ SAM_VARIANTS = {
     "vit_b": dict(embed_dim=768, depth=12, num_heads=12, global_attn_indexes=(2, 5, 8, 11)),
     "vit_l": dict(embed_dim=1024, depth=24, num_heads=16, global_attn_indexes=(5, 11, 17, 23)),
     "vit_h": dict(embed_dim=1280, depth=32, num_heads=16, global_attn_indexes=(7, 15, 23, 31)),
+    "mobile_sam": dict(tiny=True),  # TinyViT trunk (reference build.py:56)
 }
+
+
+def _build_image_encoder(variant: str, img_size: int, out_chans: int = 256, dtype=None, name=None):
+    """Variant-dispatched SAM image encoder (reference build.py _build_sam).
+
+    `name` is set when nesting inside SAMModel and omitted for the standalone
+    jitted encoder (flax rejects names on top-level modules)."""
+    cfg = SAM_VARIANTS[variant]
+    if cfg.get("tiny"):
+        from spectrogram_yolov11_tpu.models.tiny_encoder import TinyViT
+
+        return TinyViT(img_size=img_size, dtype=dtype, name=name)
+    return ImageEncoderViT(
+        img_size=img_size, embed_dim=cfg["embed_dim"], depth=cfg["depth"],
+        num_heads=cfg["num_heads"], global_attn_indexes=cfg["global_attn_indexes"],
+        use_rel_pos=True, window_size=14, out_chans=out_chans, dtype=dtype, name=name,
+    )
 
 
 class SAMModel(nn.Module):
@@ -497,14 +515,9 @@ class SAMModel(nn.Module):
     @nn.compact
     def __call__(self, image, points=None, labels=None, boxes=None, masks=None, multimask_output: bool = False):
         """image (B, img, img, 3) RGB normalized; prompt tensors static-padded."""
-        cfg = SAM_VARIANTS[self.variant]
         emb_size = self.img_size // 16
-        enc = ImageEncoderViT(
-            img_size=self.img_size, embed_dim=cfg["embed_dim"], depth=cfg["depth"],
-            num_heads=cfg["num_heads"], global_attn_indexes=cfg["global_attn_indexes"],
-            use_rel_pos=True, window_size=14, out_chans=self.prompt_embed_dim,
-            dtype=self.dtype, name="image_encoder",
-        )
+        enc = _build_image_encoder(self.variant, self.img_size, self.prompt_embed_dim, self.dtype,
+                                   name="image_encoder")
         pe = PromptEncoder(self.prompt_embed_dim, (emb_size, emb_size), (self.img_size, self.img_size),
                            16, dtype=self.dtype, name="prompt_encoder")
         dec = MaskDecoder(self.prompt_embed_dim, dtype=self.dtype, name="mask_decoder")
@@ -557,12 +570,12 @@ class SAMPredictor:
         x = jnp.asarray(x)
         self._ensure_variables(x)
         if not hasattr(self, "_enc_fn"):
-            enc = ImageEncoderViT(
-                img_size=self.img_size, use_rel_pos=True, window_size=14,
-                **{k: v for k, v in SAM_VARIANTS[self.model.variant].items()},
-            )
-            self._enc_fn = jax.jit(lambda p, xx: enc.apply({"params": p}, xx))
-        emb = self._enc_fn(self.variables["params"]["image_encoder"], x)
+            enc = _build_image_encoder(self.model.variant, self.img_size)
+            self._enc_fn = jax.jit(lambda v, xx: enc.apply(v, xx))
+        enc_vars = {"params": self.variables["params"]["image_encoder"]}
+        if "batch_stats" in self.variables:  # TinyViT (mobile_sam) carries BN stats
+            enc_vars["batch_stats"] = self.variables["batch_stats"]["image_encoder"]
+        emb = self._enc_fn(enc_vars, x)
         self._image_state = (emb, scale, orig)
 
     def prompt(self, points=None, labels=None, boxes=None, multimask_output: bool = False):
@@ -700,7 +713,8 @@ class SAM:
 
     def __new__(cls, model: str = "vit_b"):
         name = str(model)
-        variant = {"sam_b": "vit_b", "sam_l": "vit_l", "sam_h": "vit_h"}.get(Path(name).stem, Path(name).stem)
+        variant = {"sam_b": "vit_b", "sam_l": "vit_l", "sam_h": "vit_h",
+                   "mobile_sam": "mobile_sam"}.get(Path(name).stem, Path(name).stem)
         if variant not in SAM_VARIANTS:
             raise ValueError(f"unknown SAM variant {model!r}; options: {sorted(SAM_VARIANTS)}")
         return SAMPredictor(variant=variant)

@@ -41,12 +41,19 @@ def add_integration_callbacks(callbacks: Dict[str, List[Callable]]) -> None:
     _attach_integrations(callbacks)
 
 
-def _attach_integrations(cbs: Dict[str, List[Callable]]) -> None:
-    try:  # tensorboard via flax/tensorboardX if present
-        from .tb import callbacks as tb_cbs
+# integration modules, each exporting a `callbacks` event->fn dict; import
+# failure = integration unavailable, silently skipped (reference base.py:187)
+_INTEGRATIONS = (".jsonl", ".tb", ".wb", ".mlflow")
 
-        for k, v in tb_cbs.items():
+
+def _attach_integrations(cbs: Dict[str, List[Callable]]) -> None:
+    import importlib
+
+    for mod in _INTEGRATIONS:
+        try:
+            m = importlib.import_module(mod, package=__package__)
+        except (ImportError, AssertionError):
+            continue
+        for k, v in m.callbacks.items():
             if v not in cbs[k]:
                 cbs[k].append(v)
-    except ImportError:
-        pass

@@ -444,9 +444,51 @@ def _pad_labels(sample: Dict, dw: float, dh: float) -> Dict:
     return out
 
 
+class Albumentations:
+    """Pixel-level Albumentations hook (reference: augment.py:1735).
+
+    Availability-gated exactly like the reference: if the albumentations
+    package is missing (it is not in this TPU image) the hook is a no-op.
+    Only non-spatial transforms are composed (Blur/MedianBlur/ToGray/CLAHE at
+    p=0.01), so boxes/segments/keypoints never move.
+    """
+
+    def __init__(self, p: float = 1.0):
+        self.p = p
+        self.transform = None
+        try:
+            import albumentations as A
+
+            self.transform = A.Compose([
+                A.Blur(p=0.01),
+                A.MedianBlur(p=0.01),
+                A.ToGray(p=0.01),
+                A.CLAHE(p=0.01),
+            ])
+            from spectrogram_yolov11_tpu.utils import LOGGER
+
+            LOGGER.info("albumentations: " + ", ".join(
+                f"{t}".replace("always_apply=False, ", "") for t in self.transform.transforms if t.p))
+        except ImportError:  # package not installed -> inert hook
+            pass
+        except Exception as e:  # pragma: no cover - bad albumentations install
+            from spectrogram_yolov11_tpu.utils import LOGGER
+
+            LOGGER.warning(f"albumentations: init failed: {e}")
+
+    def __call__(self, sample: Dict, rng=None) -> Dict:
+        if self.transform is None:
+            return sample
+        rng = rng or np.random.default_rng()
+        if rng.random() < self.p:
+            sample["img"] = self.transform(image=sample["img"])["image"]
+        return sample
+
+
 class TrainTransform:
     """v8_transforms-equivalent pipeline (reference: augment.py:2278):
-    Mosaic -> RandomPerspective -> (MixUp) -> HSV -> flips, then Format."""
+    Mosaic -> RandomPerspective -> (MixUp) -> Albumentations -> HSV -> flips,
+    then Format."""
 
     def __init__(self, dataset, imgsz: int, hyp, max_gt: int = 128, task: str = "detect",
                  kpt_shape=(17, 3), flip_idx=None, mask_ratio: int = 4):
@@ -459,6 +501,7 @@ class TrainTransform:
         self.flip_idx = flip_idx
         self.mask_ratio = mask_ratio
         self.mosaic_enabled = True
+        self.albumentations = Albumentations(p=1.0)
 
     def close_mosaic(self):
         self.mosaic_enabled = False
@@ -496,6 +539,7 @@ class TrainTransform:
             b2 = m2.pop("mosaic_border")
             m2 = random_perspective(m2, h.degrees, h.translate, h.scale, h.shear, h.perspective, b2, rng)
             sample = mixup(sample, m2, rng)
+        sample = self.albumentations(sample, rng=rng)
         augment_hsv(sample["img"], h.hsv_h, h.hsv_s, h.hsv_v, rng)
         sample = random_flip(sample, fliplr=h.fliplr, flipud=h.flipud, rng=rng, flip_idx=self.flip_idx)
         return format_sample(sample, self.imgsz, self.max_gt, task=self.task,

@@ -88,3 +88,19 @@ def test_spectrum_monitor_runs():
     img, reports = sm(iq)
     assert img.shape[-1] == 3
     assert isinstance(reports, list)
+
+
+def test_streamlit_inference_headless():
+    """The streamlit app's frame loop runs headlessly (the GUI itself is
+    availability-gated on the streamlit package, reference
+    solutions/streamlit_inference.py:14)."""
+    from spectrogram_yolov11_tpu.solutions.streamlit_inference import Inference
+
+    app = Inference(model="yolo11n.yaml")
+    app.conf = 0.01
+    frames = [np.full((96, 128, 3), 90, np.uint8) for _ in range(2)]
+    out = app.run_headless(frames)
+    assert len(out) == 2
+    for annotated, r in out:
+        assert annotated.shape == frames[0].shape
+        assert hasattr(r, "boxes")

@@ -44,6 +44,26 @@ def _bce_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(logits, 0, None) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
+def varifocal_loss(pred_score, gt_score, label, alpha: float = 0.75, gamma: float = 2.0) -> jnp.ndarray:
+    """Varifocal loss, Zhang et al. (reference: loss.py:16-37).
+
+    pred_score logits (b, N, C); gt_score IoU-aware soft targets; label 0/1
+    positive mask. Returns the reference's mean(1).sum() reduction."""
+    w = alpha * jax.nn.sigmoid(pred_score) ** gamma * (1.0 - label) + gt_score * label
+    return (_bce_logits(pred_score, gt_score) * w).mean(1).sum()
+
+
+def focal_loss(pred, label, gamma: float = 1.5, alpha: float = 0.25) -> jnp.ndarray:
+    """Binary focal loss over logits (reference: loss.py:40-62, TF-addons form)."""
+    loss = _bce_logits(pred, label)
+    p = jax.nn.sigmoid(pred)
+    p_t = label * p + (1.0 - label) * (1.0 - p)
+    loss = loss * (1.0 - p_t) ** gamma
+    if alpha > 0:
+        loss = loss * (label * alpha + (1.0 - label) * (1.0 - alpha))
+    return loss.mean(1).sum()
+
+
 def df_loss(pred_dist_logits: jnp.ndarray, target: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     """Distribution focal loss: CE on the two adjacent integer bins
     (reference: loss.py:65-88). pred_dist_logits (..., 4, reg_max),

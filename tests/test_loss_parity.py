@@ -138,3 +138,29 @@ def test_keypoint_loss_parity_17kpt():
     )
     j_loss = float(terms.mean())
     np.testing.assert_allclose(j_loss, t_loss, rtol=1e-5)
+
+
+def test_varifocal_focal_parity():
+    """Varifocal/Focal losses match the reference torch implementations
+    (reference utils/loss.py:16 VarifocalLoss, :40 FocalLoss)."""
+    import numpy as np
+    import torch
+    from oracle import load_reference
+
+    load_reference()
+    from ultralytics.utils.loss import FocalLoss, VarifocalLoss
+
+    from spectrogram_yolov11_tpu.ops.losses import focal_loss, varifocal_loss
+
+    rng = np.random.default_rng(0)
+    pred = rng.normal(size=(4, 64, 3)).astype(np.float32)
+    gt = rng.uniform(0, 1, (4, 64, 3)).astype(np.float32)
+    label = (rng.uniform(size=(4, 64, 3)) > 0.8).astype(np.float32)
+
+    ref_v = VarifocalLoss.forward(torch.from_numpy(pred), torch.from_numpy(gt), torch.from_numpy(label))
+    ours_v = varifocal_loss(pred, gt, label)
+    np.testing.assert_allclose(float(ours_v), float(ref_v), rtol=1e-5)
+
+    ref_f = FocalLoss.forward(torch.from_numpy(pred), torch.from_numpy(label))
+    ours_f = focal_loss(pred, label)
+    np.testing.assert_allclose(float(ours_f), float(ref_f), rtol=1e-5)

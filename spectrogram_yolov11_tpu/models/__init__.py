@@ -7,12 +7,21 @@ this package holds the non-YOLO model families: RT-DETR, FastSAM, NAS, SAM.
 
 from spectrogram_yolov11_tpu.models.rtdetr import RTDETR, RTDETRTrainer, RTDETRValidator
 
-__all__ = ["RTDETR", "RTDETRTrainer", "RTDETRValidator", "SAM2", "SAM2Predictor", "SAM2VideoPredictor"]
+__all__ = ["RTDETR", "RTDETRTrainer", "RTDETRValidator", "SAM", "SAMPredictor",
+           "SAM2", "SAM2Predictor", "SAM2VideoPredictor", "FastSAM", "NAS"]
+
+# lazy family exports: each pulls a large flax module tree, so resolve on use
+_LAZY = {
+    "SAM": "sam", "SAMPredictor": "sam",
+    "SAM2": "sam2", "SAM2Predictor": "sam2", "SAM2VideoPredictor": "sam2",
+    "FastSAM": "fastsam", "NAS": "nas",
+}
 
 
-def __getattr__(name):  # lazy: SAM2 pulls in the full flax module zoo
-    if name in ("SAM2", "SAM2Predictor", "SAM2VideoPredictor"):
-        from spectrogram_yolov11_tpu.models import sam2
+def __getattr__(name):
+    mod = _LAZY.get(name)
+    if mod is not None:
+        import importlib
 
-        return getattr(sam2, name)
+        return getattr(importlib.import_module(f"spectrogram_yolov11_tpu.models.{mod}"), name)
     raise AttributeError(name)

@@ -283,6 +283,9 @@ class SettingsManager(dict):
         self.save()
 
 
+SETTINGS = SettingsManager()  # singleton (reference: utils/__init__.py SETTINGS)
+
+
 DEFAULT_CFG_DICT: dict[str, Any] = {}
 
 

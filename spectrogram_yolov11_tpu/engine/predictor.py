@@ -33,8 +33,22 @@ from spectrogram_yolov11_tpu.utils import LOGGER, DEFAULT_CFG
 
 def _norm_on_device(imgs_u8_bgr):
     """BGR->RGB + /255 on device (free XLA fusions; keeps H2D payload uint8 BGR
-    straight from the native letterboxer)."""
+    straight from the native letterboxer). A single-channel payload — gray
+    spectrogram frames ship one channel over the (slow) host link and
+    broadcast back here, bit-identical to the replicated upload."""
+    if imgs_u8_bgr.shape[-1] == 1:
+        imgs_u8_bgr = jnp.broadcast_to(imgs_u8_bgr, (*imgs_u8_bgr.shape[:-1], 3))
     return imgs_u8_bgr[..., ::-1].astype(jnp.float32) / 255.0
+
+
+def _maybe_gray(batch: np.ndarray) -> np.ndarray:
+    """Ship one channel when the batch is gray-replicated BGR (the fork's
+    spectrogram frames are): 3x less H2D for identical results. Verified per
+    batch, so mixed streams fall back to full RGB automatically."""
+    if batch.ndim == 4 and batch.shape[-1] == 3 and np.array_equal(batch[..., 0], batch[..., 1]) \
+            and np.array_equal(batch[..., 0], batch[..., 2]):
+        return np.ascontiguousarray(batch[..., :1])
+    return batch
 
 
 class BasePredictor:
@@ -143,7 +157,7 @@ class BasePredictor:
             t0 = time.perf_counter()
             n_real = len(buf_imgs)
             imgs = buf_imgs + [buf_imgs[-1]] * (batch_size - n_real)
-            batch = self.preprocess(imgs)
+            batch = _maybe_gray(self.preprocess(imgs))
             t1 = time.perf_counter()
             out, nv = self._device_fn(self.variables, jnp.asarray(batch))
             out = jax.block_until_ready(out)
@@ -243,7 +257,7 @@ class SegmentationPredictor(BasePredictor):
         loader = load_inference_source(source, vid_stride=self.args.vid_stride)
         for path, img, _ in loader:
             t0 = time.perf_counter()
-            batch = self.preprocess([img])
+            batch = _maybe_gray(self.preprocess([img]))
             out = self._device_fn(self.variables, jnp.asarray(batch))
             out = jax.block_until_ready(out)
             speed = {"preprocess": 0.0, "inference": (time.perf_counter() - t0) * 1e3, "postprocess": 0.0}

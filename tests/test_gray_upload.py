@@ -1,0 +1,30 @@
+import numpy as np
+
+def test_gray_upload_identical():
+    """_maybe_gray ships 1 channel for gray-replicated frames; detections are
+    bit-identical to the full-RGB upload (engine/predictor.py)."""
+    import jax.numpy as jnp
+    from spectrogram_yolov11_tpu.engine.predictor import BasePredictor, _maybe_gray
+    from spectrogram_yolov11_tpu.nn.tasks import build_model
+    import jax
+
+    g = np.random.default_rng(0).integers(0, 255, (120, 160, 1), np.uint8)
+    frame = np.repeat(g, 3, axis=2)
+    rgbish = frame.copy(); rgbish[5, 5, 0] += 1  # break replication
+
+    m = build_model("yolo11n.yaml", verbose=False)
+    v = m.init(jax.random.PRNGKey(0), imgsz=160)
+    p = BasePredictor(m, v, overrides=dict(imgsz=160, conf=0.001, verbose=False))
+
+    r_gray = p([frame], batch_size=1)
+    # force the full-RGB path via a non-replicated frame of the same content scale
+    assert _maybe_gray(np.stack([frame])).shape[-1] == 1
+    assert _maybe_gray(np.stack([rgbish])).shape[-1] == 3
+
+    # bypass auto-detection to compare both device programs on identical pixels
+    batch3 = p.preprocess([frame])
+    out3, nv3 = p._device_fn(p.variables, jnp.asarray(batch3))
+    out1, nv1 = p._device_fn(p.variables, jnp.asarray(np.ascontiguousarray(batch3[..., :1])))
+    np.testing.assert_array_equal(np.asarray(nv3), np.asarray(nv1))
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(out1), atol=0)
+    assert len(r_gray) == 1

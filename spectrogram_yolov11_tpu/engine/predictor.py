@@ -94,21 +94,56 @@ class BasePredictor:
 
             return run_e2e
 
+        nms_kw = dict(conf_thres=conf, iou_thres=iou, nc=nc, multi_label=False,
+                      agnostic=bool(args.agnostic_nms), max_det=max_det, classes=classes)
+
+        if getattr(args, "augment", False):
+            import math
+
+            gs = int(max(strides))
+
+            @jax.jit
+            def run_tta(variables, imgs_u8):
+                """TTA: scales (1, .83, .67) + lr-flip on the middle scale, all
+                inside ONE program (reference tasks.py:377 _predict_augment,
+                torch_utils.py:423 scale_img); tails clipped per
+                _clip_augmented (drop P5 of the 1.0 pass, P3 of the .67 pass)."""
+                x = _norm_on_device(imgs_u8)
+                B, S = x.shape[0], x.shape[1]
+                merged = []
+                for si, flip in ((1.0, False), (0.83, True), (0.67, False)):
+                    xi = x[:, :, ::-1] if flip else x
+                    if si != 1.0:
+                        s_new = int(S * si)
+                        pad_to = math.ceil(S * si / gs) * gs
+                        xi = jax.image.resize(xi, (B, s_new, s_new, 3), method="bilinear")
+                        xi = jnp.pad(xi, ((0, 0), (0, pad_to - s_new), (0, pad_to - s_new), (0, 0)),
+                                     constant_values=0.447)  # imagenet-mean gray (scale_img)
+                    feats = model.apply(variables, xi, train=False)
+                    p = decode_detections(feats, nc=nc, strides=strides)
+                    # de-scale boxes back to the original frame, then de-flip x
+                    # (reference _descale_pred: /=scale first, img_size[1]-x after)
+                    p = p.at[..., :4].divide(si)
+                    if flip:
+                        p = p.at[..., 0].set(S - p[..., 0])
+                    # per-level anchor counts for tail clipping
+                    counts = [f.shape[1] * f.shape[2] for f in feats]
+                    if si == 1.0:
+                        p = p[:, : counts[0] + counts[1]]  # drop P5 tail
+                    elif si == 0.67:
+                        p = p[:, counts[0]:]  # drop P3 head
+                    merged.append(p)
+                preds = jnp.concatenate(merged, axis=1)
+                return non_max_suppression(preds, **nms_kw)
+
+            return run_tta
+
         @jax.jit
         def run(variables, imgs_u8):
             x = _norm_on_device(imgs_u8)
             feats = model.apply(variables, x, train=False)
             preds = decode_detections(feats, nc=nc, strides=strides)
-            return non_max_suppression(
-                preds,
-                conf_thres=conf,
-                iou_thres=iou,
-                nc=nc,
-                multi_label=False,
-                agnostic=bool(args.agnostic_nms),
-                max_det=max_det,
-                classes=classes,
-            )
+            return non_max_suppression(preds, **nms_kw)
 
         return run
 

@@ -28,3 +28,20 @@ def test_gray_upload_identical():
     np.testing.assert_array_equal(np.asarray(nv3), np.asarray(nv1))
     np.testing.assert_allclose(np.asarray(out3), np.asarray(out1), atol=0)
     assert len(r_gray) == 1
+
+
+def test_tta_augment_predict():
+    """augment=True runs the 3-scale TTA program (reference tasks.py:377):
+    finite outputs, same result surface as the single-scale path."""
+    import jax
+    from spectrogram_yolov11_tpu.engine.predictor import BasePredictor
+    from spectrogram_yolov11_tpu.nn.tasks import build_model
+
+    m = build_model("yolo11n.yaml", verbose=False)
+    v = m.init(jax.random.PRNGKey(0), imgsz=128)
+    img = np.random.default_rng(1).integers(0, 255, (100, 128, 3), np.uint8)
+    r_tta = BasePredictor(m, v, overrides=dict(imgsz=128, conf=0.001, augment=True))([img])
+    r_std = BasePredictor(m, v, overrides=dict(imgsz=128, conf=0.001))([img])
+    assert len(r_tta) == len(r_std) == 1
+    assert r_tta[0].boxes.data.shape[1] == 6
+    assert np.isfinite(r_tta[0].boxes.data).all()

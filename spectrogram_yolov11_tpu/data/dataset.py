@@ -73,6 +73,33 @@ def check_det_dataset(data: str | Path | dict) -> dict:
     return data
 
 
+def check_cls_dataset(data: str | Path) -> dict:
+    """Resolve/validate a folder-per-class classification dataset
+    (reference: data/utils.py:394 check_cls_dataset).
+
+    Accepts an absolute path or a name under the settings datasets_dir.
+    Missing datasets are synthesized (shapes classes) instead of downloaded —
+    zero-egress build. Returns {train, val, nc, names}.
+    """
+    from spectrogram_yolov11_tpu.utils import LOGGER, SETTINGS
+
+    root = Path(data)
+    if not root.is_absolute() and not root.exists():
+        root = Path(SETTINGS.get("datasets_dir", ".")) / root
+    if not (root / "train").exists():
+        from spectrogram_yolov11_tpu.data.synth import gen_cls_shapes
+
+        LOGGER.info(f"Generating synthetic classification dataset at {root}...")
+        gen_cls_shapes(root, "train", 32)
+        gen_cls_shapes(root, "val", 8, seed=10_000)
+    val = root / "val" if (root / "val").exists() else (root / "test" if (root / "test").exists() else None)
+    names = sorted(d.name for d in (root / "train").iterdir() if d.is_dir())
+    if not names:
+        raise FileNotFoundError(f"no class folders under {root / 'train'}")
+    return {"train": str(root / "train"), "val": str(val) if val else None,
+            "nc": len(names), "names": dict(enumerate(names))}
+
+
 class YOLODataset:
     """Detection dataset over an images dir + YOLO label txts."""
 

@@ -224,3 +224,28 @@ def _gen_spectrogram(root: Path, split: str, n: int, imgsz: int, seed: int) -> N
             w, h = (t1 - t0), (f1 - f0)
             labels.append((cls, x, y, w, h))
         _write_sample(root, split, i, img, labels)
+
+
+def gen_cls_shapes(root: Path, split: str, n_per_class: int, imgsz: int = 160, seed: int = 0) -> None:
+    """Folder-per-class classification set: one dominant shape per class
+    (rectangle/circle/triangle) on textured noise — the imagenette-equivalent
+    smoke set for the classify task (zero-egress replacement for the
+    reference's auto-download, data/utils.py:394 check_cls_dataset)."""
+    rng = np.random.default_rng(seed)
+    for ci, name in enumerate(("rectangle", "circle", "triangle")):
+        d = Path(root) / split / name
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(n_per_class):
+            base = rng.integers(40, 160, (imgsz // 8, imgsz // 8, 3), dtype=np.uint8)
+            img = cv2.resize(base, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
+            color = tuple(int(c) for c in rng.integers(120, 255, 3))
+            cx, cy = (rng.uniform(0.3, 0.7, 2) * imgsz).astype(int)
+            r = int(rng.uniform(0.15, 0.3) * imgsz)
+            if ci == 0:
+                cv2.rectangle(img, (cx - r, cy - r), (cx + r, cy + r), color, -1)
+            elif ci == 1:
+                cv2.circle(img, (cx, cy), r, color, -1)
+            else:
+                pts = np.array([[cx, cy - r], [cx - r, cy + r], [cx + r, cy + r]], np.int32)
+                cv2.fillPoly(img, [pts], color)
+            cv2.imwrite(str(d / f"{i:05d}.jpg"), img)

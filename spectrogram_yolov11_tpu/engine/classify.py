@@ -40,7 +40,16 @@ class ClassificationTrainer:
 
     def train(self) -> Dict[str, float]:
         root = Path(self.args.data)
-        train_dir = root / "train" if (root / "train").exists() else root
+        if (root / "train").exists():
+            train_dir = root / "train"
+        elif root.exists() and any(d.is_dir() for d in root.iterdir()):
+            train_dir = root  # bare folder-per-class layout
+        else:  # name under datasets_dir; synthesized when absent
+            from spectrogram_yolov11_tpu.data.dataset import check_cls_dataset
+
+            info = check_cls_dataset(self.args.data)
+            root = Path(info["train"]).parent
+            train_dir = Path(info["train"])
         ds = ClassificationDataset(train_dir, imgsz=self.imgsz, augment=True)
         nc = len(ds.names)
         if self.model is None:

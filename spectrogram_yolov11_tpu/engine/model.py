@@ -21,7 +21,21 @@ from spectrogram_yolov11_tpu.utils import LOGGER
 class YOLO:
     """`YOLO('yolo11n.yaml')` / `YOLO('best.ckpt')` / `YOLO('yolo11n.pt')`."""
 
-    def __init__(self, model: Union[str, Path] = "yolo11n.yaml", task: Optional[str] = None, verbose: bool = False):
+    def __init__(self, model: Union[str, Path, list, tuple] = "yolo11n.yaml", task: Optional[str] = None,
+                 verbose: bool = False):
+        self._ensemble = None
+        if isinstance(model, (list, tuple)):  # weights ensemble (reference nn/tasks.py:718 Ensemble)
+            members = [YOLO(m, task=task) for m in model]
+            assert all(m.task == "detect" for m in members), "weight ensembling supports the detect task"
+            self._ensemble = members
+            lead = members[0]
+            self.model_path = str(model[0])
+            self.task = lead.task
+            self.ckpt_meta = lead.ckpt_meta
+            self.model = lead.model
+            self.variables = lead.variables
+            self.overrides = dict(lead.overrides)
+            return
         self.model_path = str(model)
         self.task = task
         self.ckpt_meta: Dict[str, Any] = {}
@@ -150,7 +164,15 @@ class YOLO:
         elif getattr(self, "_fastsam", False):
             from spectrogram_yolov11_tpu.models.fastsam import FastSAMPredictor as cls  # noqa: F811
         overrides = {k: v for k, v in {**self.overrides, **kwargs}.items() if k not in {"model", "task", "mode"}}
-        self.predictor = cls(self.model, self.variables, overrides=overrides)
+        if self._ensemble is not None:
+            from spectrogram_yolov11_tpu.engine.predictor import EnsemblePredictor
+
+            for m in self._ensemble:
+                m._ensure_variables()
+            self.predictor = EnsemblePredictor([(m.model, m.variables) for m in self._ensemble],
+                                               overrides=overrides)
+        else:
+            self.predictor = cls(self.model, self.variables, overrides=overrides)
         return self.predictor(source, stream=stream, batch_size=kwargs.get("batch", 1))
 
     def __call__(self, source=None, **kwargs):

@@ -299,6 +299,40 @@ class SegmentationPredictor(BasePredictor):
             yield from self.postprocess((out[0], np.asarray(out[1]), out[2]), np.asarray(out[1]), [img], [path], speed)
 
 
+class EnsemblePredictor(BasePredictor):
+    """NMS-ensemble over multiple detect models (reference nn/tasks.py:718
+    Ensemble + attempt_load_weights): every member's decoded predictions
+    concatenate along the anchor axis into ONE NMS — all members run inside
+    the same jitted program, so XLA schedules them back to back on device.
+    Members may differ in architecture but must share nc."""
+
+    def __init__(self, members, overrides=None):
+        models = [m for m, _ in members]
+        assert len({m.nc for m in models}) == 1, "ensemble members must share nc"
+        super().__init__(models[0], tuple(v for _, v in members), overrides)
+        self._members = models
+
+    def _build_device_fn(self):
+        models, args = self._members, self.args
+        nc = models[0].nc
+        conf, iou, max_det = float(args.conf), float(args.iou), int(args.max_det)
+        classes = None if args.classes is None else jnp.asarray(args.classes)
+
+        @jax.jit
+        def run(all_variables, imgs_u8):
+            x = _norm_on_device(imgs_u8)
+            preds = [
+                decode_detections(m.apply(v, x, train=False), nc=nc,
+                                  strides=tuple(float(s) for s in m.stride))
+                for m, v in zip(models, all_variables)
+            ]
+            return non_max_suppression(
+                jnp.concatenate(preds, axis=1), conf_thres=conf, iou_thres=iou, nc=nc,
+                multi_label=False, agnostic=bool(args.agnostic_nms), max_det=max_det, classes=classes)
+
+        return run
+
+
 class ClassificationPredictor(BasePredictor):
     def _build_device_fn(self):
         model = self.model

@@ -45,3 +45,16 @@ def test_tta_augment_predict():
     assert len(r_tta) == len(r_std) == 1
     assert r_tta[0].boxes.data.shape[1] == 6
     assert np.isfinite(r_tta[0].boxes.data).all()
+
+
+def test_ensemble_predict():
+    """YOLO([a, b]) NMS-ensembles two detect models in one jitted program
+    (reference nn/tasks.py:718 Ensemble)."""
+    from spectrogram_yolov11_tpu.engine.model import YOLO
+
+    y = YOLO(["yolo11n.yaml", "yolov8n.yaml"])
+    assert y._ensemble is not None and len(y._ensemble) == 2
+    img = np.random.default_rng(2).integers(0, 255, (96, 128, 3), np.uint8)
+    res = y.predict([img], conf=0.001, imgsz=128)
+    assert len(res) == 1 and res[0].boxes.data.shape[1] == 6
+    assert np.isfinite(res[0].boxes.data).all()

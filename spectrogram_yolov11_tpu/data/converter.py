@@ -191,3 +191,31 @@ def yolo_bbox2segment(im_dir, save_dir=None, sam_model: str = "vit_b") -> Option
         (save_dir / lb_file.name).write_text("\n".join(lines))
     LOGGER.info(f"segment labels written to {save_dir}")
     return save_dir
+
+
+def masks2segments(masks: np.ndarray, strategy: str = "all") -> List[np.ndarray]:
+    """Binary masks (n, h, w) -> polygon segments (reference: ops.py:809).
+
+    strategy 'largest' keeps the biggest external contour; 'all' joins every
+    contour into one polyline (multi-contour joining order is ours — the
+    reference threads contours via merge_multi_segment; single-contour masks
+    match it exactly)."""
+    import cv2
+
+    segments = []
+    for m in np.asarray(masks).astype(np.uint8):
+        cs = cv2.findContours(m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)[0]
+        if not cs:
+            segments.append(np.zeros((0, 2), np.float32))
+            continue
+        if strategy == "largest" or len(cs) == 1:
+            c = max(cs, key=len).reshape(-1, 2)
+        else:  # 'all': nearest-neighbor chain through the contours
+            polys = sorted((c.reshape(-1, 2) for c in cs), key=len, reverse=True)
+            c = polys[0]
+            for p in polys[1:]:
+                d = ((c[-1] - p) ** 2).sum(1)
+                j = int(d.argmin())
+                c = np.concatenate([c, p[j:], p[:j]])
+        segments.append(c.astype(np.float32))
+    return segments

@@ -9,6 +9,7 @@ Functions accept jnp or numpy arrays and stay in that namespace where possible.
 
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -94,3 +95,15 @@ def scale_boxes(img1_shape, boxes, img0_shape, ratio_pad=None, padding: bool = T
 
 def empty_like(x):
     return np.empty_like(x) if isinstance(x, np.ndarray) else jnp.empty_like(x)
+
+
+def regularize_rboxes(rboxes):
+    """Canonicalize xywhr boxes: long edge as w, angle in [0, pi)
+    (reference: ops.py:791)."""
+    ns = _ns(rboxes)
+    x, y, w, h, t = (rboxes[..., i] for i in range(5))
+    swap = w > h
+    w_ = ns.where(swap, w, h)
+    h_ = ns.where(swap, h, w)
+    t = ns.where(swap, t, t + math.pi / 2) % math.pi
+    return ns.stack([x, y, w_, h_, t], axis=-1)

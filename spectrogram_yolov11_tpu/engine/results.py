@@ -202,7 +202,8 @@ class Results(SimpleClass):
             speed=self.speed,
         )
 
-    def plot(self, line_width: Optional[int] = None, font_scale: float = 0.5, show_conf: bool = True) -> np.ndarray:
+    def plot(self, line_width: Optional[int] = None, font_scale: float = 0.5, show_conf: bool = True,
+             show_labels: bool = True) -> np.ndarray:
         """Draw detections on a copy of the original (BGR) image."""
         img = self.orig_img.copy()
         lw = line_width or max(round(sum(img.shape[:2]) / 2 * 0.003), 2)
@@ -218,8 +219,10 @@ class Results(SimpleClass):
                 color = _COLORS[c % len(_COLORS)].tolist()
                 p1, p2 = (int(b[0]), int(b[1])), (int(b[2]), int(b[3]))
                 cv2.rectangle(img, p1, p2, color, lw)
-                label = self.names.get(c, str(c)) + (f" {b[4]:.2f}" if show_conf else "")
-                cv2.putText(img, label, (p1[0], max(p1[1] - 4, 12)), cv2.FONT_HERSHEY_SIMPLEX, font_scale, color, max(lw - 1, 1))
+                if show_labels:
+                    label = self.names.get(c, str(c)) + (f" {b[4]:.2f}" if show_conf else "")
+                    cv2.putText(img, label, (p1[0], max(p1[1] - 4, 12)), cv2.FONT_HERSHEY_SIMPLEX,
+                                font_scale, color, max(lw - 1, 1))
         if self.keypoints is not None:
             for kp in self.keypoints.data:
                 for x, y, *v in kp:
@@ -231,9 +234,28 @@ class Results(SimpleClass):
                 cv2.polylines(img, [corners.astype(np.int32)], True, _COLORS[c % len(_COLORS)].tolist(), lw)
         return img
 
-    def save(self, filename: str | Path) -> str:
-        cv2.imwrite(str(filename), self.plot())
+    def save(self, filename: str | Path, **plot_kw) -> str:
+        cv2.imwrite(str(filename), self.plot(**plot_kw))
         return str(filename)
+
+    def save_crop(self, save_dir: str | Path, file_name: str | Path = "im.jpg") -> None:
+        """Save each detection crop to save_dir/<class_name>/<file_name>
+        (reference results.py save_crop; square-expanded crops with a small
+        margin, like the reference's save_one_box gain/pad)."""
+        if self.boxes is None or not len(self.boxes.data):
+            return
+        h, w = self.orig_img.shape[:2]
+        for i, b in enumerate(self.boxes.data):
+            cx, cy = (b[0] + b[2]) / 2, (b[1] + b[3]) / 2
+            bw, bh = (b[2] - b[0]) * 1.02 + 10, (b[3] - b[1]) * 1.02 + 10
+            x1, x2 = int(max(cx - bw / 2, 0)), int(min(cx + bw / 2, w))
+            y1, y2 = int(max(cy - bh / 2, 0)), int(min(cy + bh / 2, h))
+            if x2 <= x1 or y2 <= y1:
+                continue
+            d = Path(save_dir) / self.names.get(int(b[5]), str(int(b[5])))
+            d.mkdir(parents=True, exist_ok=True)
+            stem, suffix = Path(file_name).stem, Path(file_name).suffix or ".jpg"
+            cv2.imwrite(str(d / f"{stem}{'' if i == 0 else f'_{i}'}{suffix}"), self.orig_img[y1:y2, x1:x2])
 
     def save_txt(self, txt_file: str | Path, save_conf: bool = False) -> None:
         lines = []

@@ -58,3 +58,23 @@ def test_ensemble_predict():
     res = y.predict([img], conf=0.001, imgsz=128)
     assert len(res) == 1 and res[0].boxes.data.shape[1] == 6
     assert np.isfinite(res[0].boxes.data).all()
+
+
+def test_save_crop_and_plot_flags(tmp_path):
+    """save_crop writes per-class crops; show_labels/show_conf/line_width wire
+    through to plotting (reference results.py save_crop, predictor save path)."""
+    import jax
+    from spectrogram_yolov11_tpu.engine.predictor import BasePredictor
+    from spectrogram_yolov11_tpu.nn.tasks import build_model
+
+    m = build_model("yolo11n.yaml", verbose=False)
+    v = m.init(jax.random.PRNGKey(0), imgsz=128)
+    img = np.random.default_rng(3).integers(0, 255, (96, 128, 3), np.uint8)
+    p = BasePredictor(m, v, overrides=dict(
+        imgsz=128, conf=0.0005, save=True, save_crop=True, show_labels=False,
+        project=str(tmp_path), name="pred", exist_ok=True))
+    res = p([img])
+    assert (tmp_path / "pred").exists()
+    if len(res[0].boxes.data):  # random net: detections exist at conf 5e-4
+        crops = list((tmp_path / "pred" / "crops").rglob("*.jpg"))
+        assert crops

@@ -155,6 +155,35 @@ class BasePredictor:
         self.batch_size = batch_size
         self.done_warmup = True
 
+    def _visualize_features(self, batch: np.ndarray) -> None:
+        """visualize=True: save per-stage feature-map grids for the first batch
+        (reference predictor.py visualize -> plotting.py:1347). Uses flax
+        capture_intermediates on an unjitted forward — a debugging path, so
+        compile cost is deliberately avoided."""
+        from spectrogram_yolov11_tpu.cfg import get_save_dir
+        from spectrogram_yolov11_tpu.utils.plotting import feature_visualization
+
+        self._visualized = True
+        save_dir = get_save_dir(self.args) / "features"
+        x = jnp.asarray(batch[:1])
+        if x.shape[-1] == 1:
+            x = jnp.broadcast_to(x, (*x.shape[:-1], 3))
+        x = x[..., ::-1].astype(jnp.float32) / 255.0
+        try:
+            _, state = self.model.graph.apply(
+                self.variables, x, train=False, capture_intermediates=True, mutable=["intermediates"])
+            inter = state["intermediates"]
+            for stage, (name, node) in enumerate(sorted(inter.items())):
+                out = node.get("__call__", [None])[0] if isinstance(node, dict) else None
+                if out is None or not hasattr(out, "ndim"):
+                    continue
+                arr = out[0] if isinstance(out, (tuple, list)) else out
+                if getattr(arr, "ndim", 0) == 4:
+                    feature_visualization(np.asarray(arr), name, stage, save_dir=save_dir)
+            LOGGER.info(f"feature maps saved to {save_dir}")
+        except Exception as e:  # visualization must never fail inference
+            LOGGER.warning(f"visualize=True failed: {e}")
+
     # -- host pipeline ---------------------------------------------------
     def preprocess(self, imgs: List[np.ndarray]) -> np.ndarray:
         """Native (C++) batch letterbox into a persistent buffer; stays uint8
@@ -193,6 +222,8 @@ class BasePredictor:
             n_real = len(buf_imgs)
             imgs = buf_imgs + [buf_imgs[-1]] * (batch_size - n_real)
             batch = _maybe_gray(self.preprocess(imgs))
+            if getattr(self.args, "visualize", False) and not getattr(self, "_visualized", False):
+                self._visualize_features(batch)
             t1 = time.perf_counter()
             out, nv = self._device_fn(self.variables, jnp.asarray(batch))
             out = jax.block_until_ready(out)

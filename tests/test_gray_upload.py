@@ -78,3 +78,19 @@ def test_save_crop_and_plot_flags(tmp_path):
     if len(res[0].boxes.data):  # random net: detections exist at conf 5e-4
         crops = list((tmp_path / "pred" / "crops").rglob("*.jpg"))
         assert crops
+
+
+def test_visualize_feature_maps(tmp_path):
+    """visualize=True saves per-stage feature grids (reference plotting.py:1347)."""
+    import jax
+    from spectrogram_yolov11_tpu.engine.predictor import BasePredictor
+    from spectrogram_yolov11_tpu.nn.tasks import build_model
+
+    m = build_model("yolo11n.yaml", verbose=False)
+    v = m.init(jax.random.PRNGKey(0), imgsz=128)
+    img = np.random.default_rng(4).integers(0, 255, (96, 128, 3), np.uint8)
+    p = BasePredictor(m, v, overrides=dict(imgsz=128, conf=0.25, visualize=True,
+                                           project=str(tmp_path), name="viz", exist_ok=True))
+    p([img])
+    pngs = list((tmp_path / "viz" / "features").glob("*.png"))
+    assert pngs, "no feature maps saved"

@@ -250,17 +250,42 @@ class BasePredictor:
             return gen
         results = list(gen)
         if self.args.save or self.args.save_txt or self.args.save_crop:
+            import cv2
+
+            from spectrogram_yolov11_tpu.data.loaders import VID_FORMATS
+
             save_dir = get_save_dir(self.args)
             save_dir.mkdir(parents=True, exist_ok=True)
+            plot_kw = dict(line_width=self.args.line_width, show_conf=bool(self.args.show_conf),
+                           show_labels=bool(self.args.show_labels))
+            writers: dict = {}
+            frame_idx: dict = {}
             for r in results:
-                stem = Path(r.path).stem or "image"
+                p = Path(r.path)
+                stem = p.stem or "image"
+                is_video = p.suffix[1:].lower() in VID_FORMATS
+                k = frame_idx[str(p)] = frame_idx.get(str(p), -1) + 1
                 if self.args.save:
-                    r.save(save_dir / f"{stem}.jpg", line_width=self.args.line_width,
-                           show_conf=bool(self.args.show_conf), show_labels=bool(self.args.show_labels))
+                    if is_video:  # annotated video (reference predictor save_preds)
+                        frame = r.plot(**plot_kw)
+                        wr = writers.get(str(p))
+                        if wr is None:
+                            wr = writers[str(p)] = cv2.VideoWriter(
+                                str(save_dir / f"{stem}.mp4"), cv2.VideoWriter_fourcc(*"mp4v"),
+                                30, (frame.shape[1], frame.shape[0]))
+                        wr.write(frame)
+                        if self.args.save_frames:
+                            (save_dir / f"{stem}_frames").mkdir(exist_ok=True)
+                            cv2.imwrite(str(save_dir / f"{stem}_frames" / f"{k}.jpg"), frame)
+                    else:
+                        r.save(save_dir / f"{stem}.jpg", **plot_kw)
                 if self.args.save_txt:
-                    r.save_txt(save_dir / "labels" / f"{stem}.txt", save_conf=self.args.save_conf)
+                    sfx = f"_{k}" if is_video else ""
+                    r.save_txt(save_dir / "labels" / f"{stem}{sfx}.txt", save_conf=self.args.save_conf)
                 if self.args.save_crop:
-                    r.save_crop(save_dir / "crops", f"{stem}.jpg")
+                    r.save_crop(save_dir / "crops", f"{stem}{f'_{k}' if is_video else ''}.jpg")
+            for wr in writers.values():
+                wr.release()
             LOGGER.info(f"Results saved to {save_dir}")
         return results
 

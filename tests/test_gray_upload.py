@@ -94,3 +94,27 @@ def test_visualize_feature_maps(tmp_path):
     p([img])
     pngs = list((tmp_path / "viz" / "features").glob("*.png"))
     assert pngs, "no feature maps saved"
+
+
+def test_save_video_and_frames(tmp_path):
+    """save=True on a video source writes an annotated .mp4 (+ frames with
+    save_frames=True) instead of overwriting one jpg per frame."""
+    import cv2
+    import jax
+    from spectrogram_yolov11_tpu.engine.predictor import BasePredictor
+    from spectrogram_yolov11_tpu.nn.tasks import build_model
+
+    src = tmp_path / "clip.mp4"
+    wr = cv2.VideoWriter(str(src), cv2.VideoWriter_fourcc(*"mp4v"), 10, (128, 96))
+    for t in range(4):
+        wr.write(np.full((96, 128, 3), 40 + 30 * t, np.uint8))
+    wr.release()
+
+    m = build_model("yolo11n.yaml", verbose=False)
+    v = m.init(jax.random.PRNGKey(0), imgsz=128)
+    p = BasePredictor(m, v, overrides=dict(imgsz=128, conf=0.25, save=True, save_frames=True,
+                                           project=str(tmp_path), name="vid", exist_ok=True))
+    res = p(str(src))
+    assert len(res) == 4
+    assert (tmp_path / "vid" / "clip.mp4").exists()
+    assert len(list((tmp_path / "vid" / "clip_frames").glob("*.jpg"))) == 4

@@ -176,6 +176,38 @@ CLI_HELP_MSG = """
 """
 
 
+def _run_solution(argv: list) -> Any:
+    """Dispatch `yolo solutions <Name|list> [k=v...]` to solutions/apps.py."""
+    import spectrogram_yolov11_tpu.solutions as sol
+
+    names = sorted(n for n in sol.__all__ if n[0].isupper() and n != "BaseSolution")
+    if not argv or argv[0] in {"list", "help"}:
+        LOGGER.info("available solutions: " + ", ".join(names))
+        return None
+    name = argv[0]
+    if name not in names:
+        raise SyntaxError(f"unknown solution '{name}'; options: {', '.join(names)}")
+    kv = parse_key_value_pairs([a for a in argv[1:] if "=" in a])
+    source = kv.pop("source", None)
+    app = getattr(sol, name)(**kv)
+    if source is None:
+        LOGGER.info(f"{name} ready (pass source=... to run over frames)")
+        return app
+    import cv2
+
+    cap = cv2.VideoCapture(int(source) if str(source).isdigit() else str(source))
+    try:
+        while cap.isOpened():
+            ok, frame = cap.read()
+            if not ok:
+                break
+            app(frame)
+    finally:
+        cap.release()
+    LOGGER.info(f"{name} finished over {source}")
+    return app
+
+
 def entrypoint(debug: str = "") -> Any:
     """`yolo` console entrypoint: parse `task mode k=v` tokens and dispatch."""
     argv = (debug.split(" ") if debug else sys.argv)[1:]
@@ -207,6 +239,10 @@ def entrypoint(debug: str = "") -> Any:
         elif a == "settings":
             LOGGER.info(str(DEFAULT_CFG))
             return None
+        elif a == "solutions":
+            # `yolo solutions <Name> source=... [k=v...]` (reference cfg/__init__.py
+            # handle_yolo_solutions): run a turnkey app over a source
+            return _run_solution(argv[argv.index(a) + 1 :])
         elif a.startswith("cfg="):
             overrides.update(yaml_load(a.split("=", 1)[1]))
         elif "=" in a:

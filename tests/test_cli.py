@@ -39,3 +39,15 @@ def test_entrypoint_predict(tmp_path):
         f"imgsz=160 project={tmp_path} name=clipred exist_ok=True save=False"
     )
     assert isinstance(res, list) and len(res) == 1
+
+
+def test_cli_solutions_verb(caplog):
+    """`yolo solutions list` + instantiation dispatch (reference
+    handle_yolo_solutions)."""
+    from spectrogram_yolov11_tpu.cfg import entrypoint
+
+    assert entrypoint("yolo solutions list") is None
+    app = entrypoint("yolo solutions ObjectCounter model=yolo11n.yaml")
+    from spectrogram_yolov11_tpu.solutions import ObjectCounter
+
+    assert isinstance(app, ObjectCounter)

@@ -6,7 +6,6 @@ third-party loggers are availability-gated)."""
 
 from __future__ import annotations
 
-from collections import defaultdict
 from typing import Callable, Dict, List
 
 EVENTS = [

@@ -113,6 +113,8 @@ class YOLO:
     def train(self, **kwargs) -> Dict[str, float]:
         from spectrogram_yolov11_tpu.engine.trainer import TASK2TRAINER
 
+        if self._ensemble is not None:
+            raise ValueError("weight ensembles are inference-only; train the members individually")
         overrides = {**self.overrides, **kwargs, "mode": "train"}
         overrides.setdefault("model", self.model_path)
         if self.task == "classify":

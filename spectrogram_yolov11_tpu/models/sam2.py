@@ -765,7 +765,9 @@ class SAM2Model(nn.Module):
         """Encode a frame + predicted mask into a bank entry (reference sam.py:784).
 
         Applies the build-time sigmoid temperature (scale 20, bias -10,
-        build.py:273-274), then the memory encoder."""
+        build.py:273-274), then the memory encoder. obj_score_logits is part
+        of the reference signature but only consumed by the sam2.1-only
+        no_obj_embed_spatial path, which is not ported (module docstring)."""
         _, _, pix_feat, _ = self.encode_image(img)
         m = jax.nn.sigmoid(high_res_mask) * 20.0 - 10.0
         m = jnp.transpose(m, (0, 2, 3, 1))  # (B, S, S, 1) NHWC

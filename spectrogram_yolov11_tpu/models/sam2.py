@@ -263,6 +263,17 @@ class MultiScaleBlock(nn.Module):
         return x + _GELUMLP(int(self.dim_out * self.mlp_ratio), self.dim_out, dtype=self.dtype, name="mlp")(y)
 
 
+class _HieraPatchEmbed(nn.Module):
+    """7x7 stride-4 conv patch embed, child named proj (reference blocks.py:1073)."""
+
+    embed_dim: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return conv2d(x, self.embed_dim, 7, 4, 3, bias=True, dtype=self.dtype, name="proj")
+
+
 class Hiera(nn.Module):
     """Hierarchical windowed ViT trunk -> 4 feature levels (reference encoders.py:645).
 
@@ -285,11 +296,14 @@ class Hiera(nn.Module):
         stage_ends = [sum(self.stages[: i + 1]) - 1 for i in range(len(self.stages))]
         q_pool_blocks = [e + 1 for e in stage_ends[:-1]][: self.q_pool]
 
-        x = conv2d(x, self.embed_dim, 7, 4, 3, bias=True, dtype=self.dtype, name="patch_embed_proj")
+        x = _HieraPatchEmbed(self.embed_dim, dtype=self.dtype, name="patch_embed")(x)
         B, H, W, _ = x.shape
 
         # windowed absolute position embedding (reference encoders.py:727-777):
-        # a background embedding interpolated to (H, W) plus a tiled window embedding
+        # a background embedding interpolated to (H, W) plus a tiled window
+        # embedding. NOTE: jax bicubic differs from torch's by ~1e-3 on the
+        # interpolated background term (different kernel taps) — the only
+        # non-exact piece of this encoder (see tests/test_sam2.py)
         pos_bkg = self.param("pos_embed", nn.initializers.zeros,
                              (1, *self.window_pos_embed_bkg_spatial_size, self.embed_dim), jnp.float32)
         ws0 = self.window_spec[0]
@@ -322,6 +336,17 @@ class Hiera(nn.Module):
         return outputs  # high-res -> low-res, NHWC
 
 
+class _FpnLateral(nn.Module):
+    """1x1 lateral conv wrapper so torch keys neck.convs.N.conv.* translate."""
+
+    d_model: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return conv2d(x, self.d_model, 1, 1, 0, bias=True, dtype=self.dtype, name="conv")
+
+
 class FpnNeck(nn.Module):
     """FPN neck: lateral 1x1 convs + nearest top-down on the two lowest-res
     levels (reference encoders.py:501; fpn_top_down_levels=[2, 3] in build.py:258)."""
@@ -339,7 +364,7 @@ class FpnNeck(nn.Module):
         pos = [None] * len(xs)
         prev = None
         for i in range(n, -1, -1):  # low-res first (top-down)
-            lateral = conv2d(xs[i], self.d_model, 1, 1, 0, bias=True, dtype=self.dtype, name=f"convs_{n - i}")
+            lateral = _FpnLateral(self.d_model, dtype=self.dtype, name=f"convs_{n - i}")(xs[i])
             if i in self.fpn_top_down_levels and prev is not None:
                 top_down = jax.image.resize(
                     prev, (prev.shape[0], prev.shape[1] * 2, prev.shape[2] * 2, prev.shape[3]), method="nearest"
@@ -366,8 +391,11 @@ class ImageEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # bkg pos-embed grid is (7, 7) for every SAM2 build (build.py:222
+        # encoder_window_spatial_size default, never overridden per variant)
         feats = Hiera(self.embed_dim, self.num_heads, stages=self.stages,
                       global_att_blocks=self.global_att_blocks, window_spec=self.window_spec,
+                      window_pos_embed_bkg_spatial_size=(7, 7),
                       dtype=self.dtype, name="trunk")(x)
         feats, pos = FpnNeck(256, self.backbone_channel_list, dtype=self.dtype, name="neck")(feats)
         if self.scalp:
@@ -950,6 +978,24 @@ class SAM2VideoPredictor:
         b["obj_ptr_frames"][s] = self._frame_idx
         self._next_ptr_slot = 1 + (s % (P - 1))
         return np.asarray(high_mask[:, 0] > 0.0), float(obj_score[0, 0])
+
+
+def sam2_state_preprocess(state: dict) -> dict:
+    """Prepare a torch SAM2 state_dict for torch_compat conversion: the Hiera
+    positional embeddings are stored NCHW ((1, C, 14, 14) / (1, C, w, w),
+    encoders.py:729-730) while every other SAM tensor converts mechanically —
+    transpose just those two to NHWC before translate_key mapping."""
+    out = {}
+    for k, v in state.items():
+        if k.endswith(("pos_embed", "pos_embed_window")) and getattr(v, "ndim", 0) == 4:
+            v = v.transpose(0, 2, 3, 1) if hasattr(v, "transpose") else v
+        if "transformer" in k and ".mlp.layers." in k:
+            # SAM2TwoWayAttentionBlock swaps SAM1's MLPBlock (lin1/lin2) for an
+            # identically-shaped MLP named layers.{0,1} (blocks.py:264); our
+            # shared TwoWayTransformer keeps the SAM1 names
+            k = k.replace(".mlp.layers.0.", ".mlp.lin1.").replace(".mlp.layers.1.", ".mlp.lin2.")
+        out[k] = v
+    return out
 
 
 class SAM2:

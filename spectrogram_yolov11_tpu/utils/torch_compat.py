@@ -81,7 +81,7 @@ def torch_state_to_variables(
         # nn.Embedding tables (RT-DETR denoising/tgt embeds, SAM tokens): keep
         # (num, dim) untransposed; our modules declare them as direct leaf params
         _EMBEDS = {"denoising_class_embed", "tgt_embed", "not_a_point_embed", "no_mask_embed",
-                   "iou_token", "mask_tokens", "obj_ptr_tokens"}
+                   "iou_token", "mask_tokens", "obj_ptr_tokens", "obj_score_token"}
         if leaf == "weight" and len(path) >= 2 and (
             path[-2] in _EMBEDS or path[-2].startswith("point_embeddings")
         ):

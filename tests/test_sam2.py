@@ -227,3 +227,102 @@ def test_sam2_video_propagation():
     assert int(np.asarray(vp._bank["obj_ptr_valid"]).sum()) == 3
     # one compiled track program served both frames
     assert vp._jit_track._cache_size() == 1
+
+
+def test_sam2_image_encoder_parity():
+    """Full sam2_t image encoder (Hiera trunk + FPN neck, scalped) on converted
+    torch weights — features AND positional encodings at all 3 levels."""
+    _load_ref()
+    from ultralytics.models.sam.modules.encoders import (
+        FpnNeck as TFpn,
+        Hiera as THiera,
+        ImageEncoder as TImageEncoder,
+    )
+
+    from spectrogram_yolov11_tpu.models.sam2 import sam2_state_preprocess
+
+    torch.manual_seed(0)
+    tenc = TImageEncoder(
+        trunk=THiera(embed_dim=96, num_heads=1, stages=[1, 2, 7, 2], global_att_blocks=[5, 7, 9],
+                     window_pos_embed_bkg_spatial_size=[7, 7], window_spec=[8, 4, 14, 7]),
+        neck=TFpn(d_model=256, backbone_channel_list=[768, 384, 192, 96],
+                  fpn_top_down_levels=[2, 3], fpn_interp_model="nearest"),
+        scalp=1,
+    )
+    tenc.eval()
+    with torch.no_grad():
+        # randomize the window pos embed (tiled -> exact) to exercise the
+        # NCHW->NHWC conversion path; the background pos embed stays zero
+        # because torch bicubic != jax bicubic at ~1e-3 (documented deviation
+        # in models/sam2.py Hiera — it only shapes a smooth low-magnitude prior)
+        tenc.trunk.pos_embed_window.add_(torch.randn_like(tenc.trunk.pos_embed_window) * 0.02)
+
+    jenc = ImageEncoder()  # sam2_t geometry
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(1, 128, 128, 3)).astype(np.float32)
+    v = jenc.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    state = sam2_state_preprocess({k: p.detach().numpy() for k, p in tenc.state_dict().items()})
+    v = load_state_into_variables(dict(v), torch_state_to_variables(state), strict=True)
+
+    feats, pos = jenc.apply(v, jnp.asarray(x))
+    with torch.no_grad():
+        ref = tenc(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    for lvl in range(3):
+        np.testing.assert_allclose(
+            np.asarray(feats[lvl]), ref["backbone_fpn"][lvl].numpy().transpose(0, 2, 3, 1),
+            atol=5e-4, err_msg=f"features level {lvl}")
+        np.testing.assert_allclose(
+            np.asarray(pos[lvl]), ref["vision_pos_enc"][lvl].numpy()[0].transpose(1, 2, 0),
+            atol=1e-5, err_msg=f"pos level {lvl}")
+
+
+def test_sam2_mask_decoder_parity():
+    """SAM2MaskDecoder (obj-score token, high-res skips, sigmoid IoU) on
+    converted torch weights (decoders.py:176 predict_masks)."""
+    _load_ref()
+    from ultralytics.models.sam.modules.blocks import SAM2TwoWayTransformer
+    from ultralytics.models.sam.modules.decoders import SAM2MaskDecoder as TDec
+
+    from spectrogram_yolov11_tpu.models.sam2 import SAM2MaskDecoder
+
+    torch.manual_seed(1)
+    td = 256
+    tm = TDec(
+        transformer_dim=td,
+        transformer=SAM2TwoWayTransformer(depth=2, embedding_dim=td, mlp_dim=2048, num_heads=8),
+        use_high_res_features=True, iou_prediction_use_sigmoid=True,
+        pred_obj_scores=True, pred_obj_scores_mlp=True, use_multimask_token_for_obj_ptr=True,
+    )
+    tm.eval()
+    jm = SAM2MaskDecoder(td)
+
+    rng = np.random.default_rng(6)
+    h = w = 8
+    emb = rng.normal(size=(1, h, w, td)).astype(np.float32)
+    pe = rng.normal(size=(1, h, w, td)).astype(np.float32)
+    sparse = rng.normal(size=(1, 3, td)).astype(np.float32)
+    dense = rng.normal(size=(1, h, w, td)).astype(np.float32)
+    s0 = rng.normal(size=(1, 4 * h, 4 * w, td // 8)).astype(np.float32)
+    s1 = rng.normal(size=(1, 2 * h, 2 * w, td // 4)).astype(np.float32)
+
+    from spectrogram_yolov11_tpu.models.sam2 import sam2_state_preprocess
+
+    v = jm.init(jax.random.PRNGKey(0), jnp.asarray(emb), jnp.asarray(pe), jnp.asarray(sparse),
+                jnp.asarray(dense), high_res_features=(jnp.asarray(s0), jnp.asarray(s1)))
+    state = sam2_state_preprocess({k: p.detach().numpy() for k, p in tm.state_dict().items()
+                                   if not k.startswith(("conv_s0", "conv_s1"))})  # live on SAM2Model here
+    v = load_state_into_variables(dict(v), torch_state_to_variables(state), strict=True)
+
+    masks, ious, tokens, obj = jm.apply(v, jnp.asarray(emb), jnp.asarray(pe), jnp.asarray(sparse),
+                                        jnp.asarray(dense),
+                                        high_res_features=(jnp.asarray(s0), jnp.asarray(s1)))
+    t = lambda a: torch.from_numpy(a.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        r_masks, r_ious, r_tokens, r_obj = tm.predict_masks(
+            image_embeddings=t(emb), image_pe=t(pe)[:1],
+            sparse_prompt_embeddings=torch.from_numpy(sparse), dense_prompt_embeddings=t(dense),
+            repeat_image=False, high_res_features=[t(s0), t(s1)])
+    np.testing.assert_allclose(np.asarray(masks), r_masks.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ious), r_ious.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tokens), r_tokens.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(obj), r_obj.numpy(), atol=2e-4)

@@ -1,4 +1,12 @@
-from .dataset import ClassificationDataset, YOLODataset, check_cls_dataset, check_det_dataset  # noqa: F401
+from .dataset import (  # noqa: F401
+    ClassificationDataset,
+    HUBDatasetStats,
+    YOLOConcatDataset,
+    YOLODataset,
+    YOLOMultiModalDataset,
+    check_cls_dataset,
+    check_det_dataset,
+)
 from .build import DataLoader, build_dataloader, collate  # noqa: F401
 from .loaders import (  # noqa: F401
     LoadImagesAndVideos,

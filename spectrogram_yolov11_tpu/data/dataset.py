@@ -336,6 +336,104 @@ class YOLODataset:
             self.transform.close_mosaic()
 
 
+class YOLOMultiModalDataset(YOLODataset):
+    """YOLODataset that also yields per-sample class-name texts for
+    vision-language (world) training (reference: dataset.py:251)."""
+
+    def __init__(self, *args, names: Optional[dict] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.names = dict(names or {})
+
+    def get_item(self, i: int, rng) -> Dict[str, np.ndarray]:
+        item = super().get_item(i, rng)
+        # reference update_labels_info splits multi-word names into variants;
+        # here each class contributes its full phrase
+        item["texts"] = [str(self.names.get(c, c)) for c in sorted(self.names or
+                                                                   range(self.nc))]
+        return item
+
+
+class YOLOConcatDataset:
+    """Concatenation of YOLO datasets trained as one corpus
+    (reference: dataset.py:358; torch's ConcatDataset + shared collate)."""
+
+    def __init__(self, datasets: list):
+        assert datasets, "need at least one dataset"
+        self.datasets = list(datasets)
+        self._offsets = []
+        total = 0
+        for d in self.datasets:
+            self._offsets.append(total)
+            total += len(d)
+        self._total = total
+        self.im_files = [f for d in self.datasets for f in getattr(d, "im_files", [])]
+
+    def __len__(self) -> int:
+        return self._total
+
+    def _locate(self, i: int):
+        assert 0 <= i < self._total, f"index {i} out of range {self._total}"
+        for k in range(len(self.datasets) - 1, -1, -1):
+            if i >= self._offsets[k]:
+                return self.datasets[k], i - self._offsets[k]
+        raise IndexError(i)
+
+    def get_item(self, i: int, rng) -> Dict[str, np.ndarray]:
+        d, j = self._locate(i)
+        return d.get_item(j, rng)
+
+    def close_mosaic(self) -> None:
+        for d in self.datasets:
+            if hasattr(d, "close_mosaic"):
+                d.close_mosaic()
+
+
+class HUBDatasetStats:
+    """Dataset statistics JSON for the (local) HUB registry
+    (reference: data/utils.py:472; downloads/zips replaced by direct paths).
+
+    get_json() returns {split: {"instance_stats", "image_stats", "labels"}}
+    matching the reference schema; save=True writes stats.json next to the
+    dataset (or into the hub registry when `registry` is set).
+    """
+
+    def __init__(self, path: str = "shapes128.yaml", task: str = "detect"):
+        self.task = task
+        self.data = check_det_dataset(path)
+        self.stats: dict = {"nc": self.data["nc"], "names": {int(k): v for k, v in self.data["names"].items()}}
+
+    def get_json(self, save: bool = False, verbose: bool = False) -> dict:
+        for split in ("train", "val", "test"):
+            p = self.data.get(split)
+            if not p or not Path(p).exists():
+                self.stats[split] = None
+                continue
+            ds = YOLODataset(p, augment=False, nc=self.data["nc"], task=self.task,
+                             kpt_shape=self.data.get("kpt_shape", (17, 3)))
+            counts = np.zeros(self.data["nc"], np.int64)
+            labels = []
+            for f, lab in zip(ds.im_files, ds.labels):
+                np.add.at(counts, lab["cls"], 1)
+                rows = [[int(c), *(round(float(x), 4) for x in xywh)]
+                        for c, xywh in zip(lab["cls"], lab["xywhn"])]
+                labels.append({Path(f).name: rows})
+            self.stats[split] = {
+                "instance_stats": {"total": int(counts.sum()), "per_class": counts.tolist()},
+                "image_stats": {"total": len(ds.im_files), "unlabelled": int(sum(not len(l["cls"]) for l in ds.labels)),
+                                "per_class": [int((np.asarray([c in l["cls"] for l in ds.labels])).sum())
+                                              for c in range(self.data["nc"])]},
+                "labels": labels,
+            }
+            if verbose:
+                from spectrogram_yolov11_tpu.utils import LOGGER
+
+                LOGGER.info(f"{split}: {self.stats[split]['image_stats']}")
+        if save:
+            out = Path(self.data["path"]) / "stats.json"
+            out.write_text(json.dumps(self.stats))
+        return self.stats
+
+
 class ClassificationDataset:
     """root/{class_name}/img.jpg layout (reference: dataset.py:389)."""
 

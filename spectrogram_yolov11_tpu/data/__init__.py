@@ -1,5 +1,6 @@
 from .dataset import (  # noqa: F401
     ClassificationDataset,
+    GroundingDataset,
     HUBDatasetStats,
     YOLOConcatDataset,
     YOLODataset,

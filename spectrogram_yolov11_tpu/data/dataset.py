@@ -353,6 +353,77 @@ class YOLOMultiModalDataset(YOLODataset):
         return item
 
 
+class GroundingDataset(YOLODataset):
+    """Phrase-grounding detection dataset (reference: dataset.py:283).
+
+    Reads a COCO-style json where each image carries a caption and each
+    annotation marks its phrase via `tokens_positive` spans; classes are the
+    per-image phrase vocabulary (so `cls` indexes into this sample's `texts`
+    list, not a global names map). Samples yield an extra `texts` key whose
+    embeddings feed the world model's (B, K, ct) txt_feats input.
+
+    Scope: augment=False (mosaic would merge incompatible per-image phrase
+    spaces; the reference handles that via text-aware mix transforms — noted
+    as the remaining grounding-train gap).
+    """
+
+    def __init__(self, img_path, json_file, imgsz: int = 640, max_gt: int = 128, **kwargs):
+        self.json_file = str(json_file)
+        kwargs.pop("augment", None)
+        super().__init__(img_path, imgsz=imgsz, augment=False, max_gt=max_gt,
+                         task="detect", **kwargs)
+
+    def _find_images(self, fraction: float = 1.0):
+        # image list comes from the annotation json, not a directory walk
+        return []
+
+    def _load_labels(self) -> List[Dict]:
+        anns = json.loads(Path(self.json_file).read_text())
+        images = {int(im["id"]): im for im in anns["images"]}
+        per_img: Dict[int, list] = {}
+        for a in anns["annotations"]:
+            per_img.setdefault(int(a["image_id"]), []).append(a)
+        labels = []
+        self.texts: List[List[str]] = []
+        for img_id, rows in per_img.items():
+            im = images[img_id]
+            f = Path(self.img_path) / im["file_name"]
+            if not f.exists():
+                continue
+            h, w, caption = float(im["height"]), float(im["width"]), im["caption"]
+            cat2id: Dict[str, int] = {}
+            texts: List[str] = []
+            cls, xywhn = [], []
+            for a in rows:
+                if a.get("iscrowd"):
+                    continue
+                bx = np.asarray(a["bbox"], np.float32)  # COCO ltwh pixels
+                cx, cy = bx[0] + bx[2] / 2, bx[1] + bx[3] / 2
+                box = [cx / w, cy / h, bx[2] / w, bx[3] / h]
+                if box[2] <= 0 or box[3] <= 0:
+                    continue
+                phrase = " ".join(caption[t0:t1] for t0, t1 in a["tokens_positive"])
+                if phrase not in cat2id:
+                    cat2id[phrase] = len(cat2id)
+                    texts.append(phrase)
+                if [cat2id[phrase]] + box not in [[c] + b for c, b in zip(cls, xywhn)]:
+                    cls.append(cat2id[phrase])
+                    xywhn.append(box)
+            self.im_files.append(str(f))
+            self.label_files.append("")
+            self.texts.append(texts)
+            labels.append({
+                "cls": np.asarray(cls, np.int32),
+                "xywhn": np.asarray(xywhn, np.float32).reshape(-1, 4),
+            })
+        return labels
+
+    def get_item(self, i: int, rng) -> Dict[str, np.ndarray]:
+        item = super().get_item(i, rng)
+        item["texts"] = list(self.texts[i])
+        return item
+
+
 class YOLOConcatDataset:
     """Concatenation of YOLO datasets trained as one corpus
     (reference: dataset.py:358; torch's ConcatDataset + shared collate)."""

@@ -46,3 +46,61 @@ def test_hub_dataset_stats(tmp_path):
     from pathlib import Path
 
     assert (Path("datasets/shapes128") / "stats.json").exists()
+
+
+def test_grounding_dataset_and_world_forward(tmp_path):
+    """GroundingDataset parses caption/token-span json into per-image phrase
+    classes + texts (reference dataset.py:283), and the phrase embeddings
+    drive the world model's per-image (B, K, ct) text input to a finite loss."""
+    import json
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogram_yolov11_tpu.data import GroundingDataset
+    from spectrogram_yolov11_tpu.nn.tasks import build_model
+    from spectrogram_yolov11_tpu.ops.losses import detection_loss
+
+    data = check_det_dataset("shapes128.yaml")
+    img_dir = Path(data["val"])
+    files = sorted(img_dir.glob("*.jpg"))[:2]
+    caption = "a red rectangle next to a blue circle"
+    ann = {
+        "images": [{"id": i, "file_name": f.name, "height": 640, "width": 640, "caption": caption}
+                   for i, f in enumerate(files)],
+        "annotations": [
+            {"image_id": 0, "bbox": [64, 64, 128, 96], "tokens_positive": [[2, 15]], "iscrowd": 0},
+            {"image_id": 0, "bbox": [320, 320, 96, 96], "tokens_positive": [[26, 37]], "iscrowd": 0},
+            {"image_id": 0, "bbox": [320, 320, 96, 96], "tokens_positive": [[26, 37]], "iscrowd": 0},  # dup drops
+            {"image_id": 1, "bbox": [100, 100, 200, 150], "tokens_positive": [[2, 15]], "iscrowd": 0},
+            {"image_id": 1, "bbox": [10, 10, 0, 50], "tokens_positive": [[2, 15]], "iscrowd": 0},  # degenerate drops
+        ],
+    }
+    jf = tmp_path / "grounding.json"
+    jf.write_text(json.dumps(ann))
+
+    ds = GroundingDataset(img_dir, json_file=jf, imgsz=160, max_gt=8, nc=2)
+    assert len(ds) == 2
+    item0 = ds.get_item(0, np.random.default_rng(0))
+    assert item0["texts"] == ["red rectangle", "blue circle"]
+    assert int(item0["mask_gt"].sum()) == 2  # dup dropped
+    item1 = ds.get_item(1, np.random.default_rng(0))
+    assert item1["texts"] == ["red rectangle"] and int(item1["mask_gt"].sum()) == 1
+
+    # per-image phrase embeddings -> world forward -> finite detection loss
+    m = build_model("yolov8s-world.yaml", nc=2, verbose=False, task="world")
+    K = 2
+    txt = np.stack([
+        m.text_embeddings(item0["texts"])[0],
+        m.text_embeddings(item1["texts"] + [""])[0],  # pad to K phrases
+    ])
+    v = m.init(jax.random.PRNGKey(0), imgsz=160)
+    imgs = jnp.stack([jnp.asarray(item0["img"]), jnp.asarray(item1["img"])]).astype(jnp.float32) / 255
+    out = m.apply(v, imgs, txt_feats=jnp.asarray(txt))
+    cls = jnp.stack([jnp.asarray(item0["cls"]), jnp.asarray(item1["cls"])])
+    boxes = jnp.stack([jnp.asarray(item0["bboxes"]), jnp.asarray(item1["bboxes"])])
+    mask = jnp.stack([jnp.asarray(item0["mask_gt"]), jnp.asarray(item1["mask_gt"])])
+    total, items = detection_loss(out, cls, boxes, mask, nc=K, imgsz=160,
+                                  strides=tuple(float(s) for s in m.stride))
+    assert bool(jnp.isfinite(total))

@@ -291,6 +291,34 @@ class Results(SimpleClass):
 
         return pd.DataFrame(json.loads(self.to_json()))
 
+    def to_csv(self, *args, **kwargs) -> str:
+        """Detections as CSV (reference results.py:851)."""
+        return self.to_df().to_csv(*args, **kwargs)
+
+    def to_xml(self, *args, **kwargs) -> str:
+        """Detections as XML (reference results.py:878; needs lxml via pandas)."""
+        df = self.to_df()
+        return df.to_xml(*args, **kwargs) if len(df) else "<?xml version='1.0' encoding='utf-8'?>\n<data></data>"
+
+    def to_sql(self, table_name: str = "results", db_path: str = "results.db") -> None:
+        """Append detections to a sqlite table (reference results.py:945)."""
+        import sqlite3
+
+        con = sqlite3.connect(db_path)
+        try:
+            cur = con.cursor()
+            cur.execute(
+                f"CREATE TABLE IF NOT EXISTS {table_name} "
+                "(name TEXT, class INTEGER, confidence REAL, x1 REAL, y1 REAL, x2 REAL, y2 REAL)")
+            rows = [(r["name"], r["class"], r["confidence"],
+                     r.get("box", {}).get("x1"), r.get("box", {}).get("y1"),
+                     r.get("box", {}).get("x2"), r.get("box", {}).get("y2"))
+                    for r in self.summary()]
+            cur.executemany(f"INSERT INTO {table_name} VALUES (?,?,?,?,?,?,?)", rows)
+            con.commit()
+        finally:
+            con.close()
+
     def cpu(self):
         return self
 

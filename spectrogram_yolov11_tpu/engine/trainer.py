@@ -90,6 +90,8 @@ class BaseTrainer:
     """Detection trainer (task subclasses override loss/validator wiring)."""
 
     task = "detect"
+    # batch keys shipped to the device program (subclasses may extend)
+    train_batch_keys = frozenset({"img", "cls", "bboxes", "mask_gt", "masks", "keypoints"})
 
     def __init__(self, cfg=DEFAULT_CFG, overrides: Optional[dict] = None, model=None, variables=None):
         self.args = get_cfg(cfg, overrides or {})
@@ -317,7 +319,7 @@ class BaseTrainer:
             loader.set_epoch(epoch)
             names = self.loss_names
             mloss = np.zeros(len(names))
-            train_keys = {"img", "cls", "bboxes", "mask_gt", "masks", "keypoints"}
+            train_keys = self.train_batch_keys
             pbar = TQDM(enumerate(loader), total=nb, desc=f"epoch {epoch + 1}/{self.epochs}")
             for i, batch in pbar:
                 ni = i + nb * epoch
@@ -565,6 +567,61 @@ class WorldTrainer(BaseTrainer):
         out, mut = self.model.graph.apply(
             {"params": params, "batch_stats": batch_stats}, x, train=True,
             txt_feats=self.model._txt(x.shape[0]), mutable=["batch_stats"],
+        )
+        return out, mut["batch_stats"]
+
+
+class GroundingTrainer(WorldTrainer):
+    """Phrase-grounded world training over caption/token-span annotations
+    (reference: models/yolo/world/train_world.py WorldTrainerFromScratch).
+
+    Classes are per-image phrase slots: each batch ships per-image text
+    embeddings (B, K, ct) to the contrastive head, and GT cls indexes the
+    sample's own phrase list. Mosaic/mixup stay off (they would merge
+    incompatible per-image phrase spaces — the reference's text-aware mix
+    transforms are the remaining delta, documented here).
+
+    Overrides: img_path=..., json_file=..., max_phrases=K (static slot count).
+    """
+
+    train_batch_keys = DetectionTrainer.train_batch_keys | {"txt_feats"}
+
+    def __init__(self, cfg=DEFAULT_CFG, overrides: Optional[dict] = None, model=None, variables=None):
+        overrides = dict(overrides or {})
+        self.img_path = overrides.pop("img_path")
+        self.json_file = overrides.pop("json_file")
+        self.max_phrases = int(overrides.pop("max_phrases", 8))
+        overrides.setdefault("val", False)  # phrase-grounding mAP protocol N/A
+        overrides.setdefault("mosaic", 0.0)
+        overrides["data"] = {
+            "path": str(Path(self.img_path).parent),
+            "train": str(self.img_path), "val": str(self.img_path),
+            "names": {i: f"phrase_{i}" for i in range(self.max_phrases)},
+        }
+        super().__init__(cfg, overrides, model=model, variables=variables)
+
+    def build_dataset(self, split: str, augment: bool):
+        from spectrogram_yolov11_tpu.data.dataset import GroundingDataset
+        from spectrogram_yolov11_tpu.nn.tasks import WorldModel
+
+        K = self.max_phrases
+
+        class _Embedded(GroundingDataset):
+            def get_item(self, i, rng):
+                item = super().get_item(i, rng)
+                texts = item.pop("texts")[:K]
+                texts = texts + [""] * (K - len(texts))
+                item["txt_feats"] = WorldModel.text_embeddings(texts)[0].astype(np.float32)
+                return item
+
+        return _Embedded(self.img_path, json_file=self.json_file, imgsz=self.imgsz,
+                         nc=K, max_gt=128)
+
+    def forward_train(self, params, batch_stats, batch, ni):
+        x = batch["img"].astype(jnp.float32) / 255.0
+        out, mut = self.model.graph.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=True,
+            txt_feats=batch["txt_feats"], mutable=["batch_stats"],
         )
         return out, mut["batch_stats"]
 

@@ -104,3 +104,40 @@ def test_grounding_dataset_and_world_forward(tmp_path):
     total, items = detection_loss(out, cls, boxes, mask, nc=K, imgsz=160,
                                   strides=tuple(float(s) for s in m.stride))
     assert bool(jnp.isfinite(total))
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_grounding_trainer_smoke(tmp_path):
+    """1 epoch of phrase-grounded world training: per-image text embeddings
+    ship with the batch, loss is finite (reference train_world.py)."""
+    import json
+    from pathlib import Path
+
+    from spectrogram_yolov11_tpu.engine.trainer import GroundingTrainer
+
+    data = check_det_dataset("shapes128.yaml")
+    img_dir = Path(data["val"])
+    files = sorted(img_dir.glob("*.jpg"))[:8]
+    caption = "a wideband burst and a narrow carrier"
+    ann = {
+        "images": [{"id": i, "file_name": f.name, "height": 640, "width": 640, "caption": caption}
+                   for i, f in enumerate(files)],
+        "annotations": [
+            {"image_id": i, "bbox": [64 + 8 * i, 64, 128, 96],
+             "tokens_positive": [[2, 16]] if i % 2 == 0 else [[23, 37]], "iscrowd": 0}
+            for i in range(len(files))
+        ],
+    }
+    jf = tmp_path / "g.json"
+    jf.write_text(json.dumps(ann))
+
+    t = GroundingTrainer(overrides=dict(
+        model="yolov8s-world.yaml", img_path=str(img_dir), json_file=str(jf), max_phrases=4,
+        imgsz=96, batch=4, nbs=4, epochs=1, workers=0, save=False,
+        project=str(tmp_path), name="ground", exist_ok=True, plots=False, close_mosaic=0,
+    ))
+    t.train()
+    assert np.isfinite(list(t.label_loss.values())).all()

@@ -199,9 +199,25 @@ class LoadStreams:
             frame_i += 1
 
     def close(self) -> None:
+        """Stop readers THEN release captures: releasing while a reader is
+        inside cap.grab() is a use-after-free segfault in OpenCV (observed as
+        a flaky crash in the test suite)."""
         self.running = False
-        for cap in self.caps:
-            cap.release()
+        stuck = False
+        for t in self.threads:
+            if t.is_alive():
+                t.join(timeout=5.0)
+                stuck |= t.is_alive()
+        if not stuck:  # a reader wedged in cap.grab() -> leak the cap, never free it under the reader
+            for cap in self.caps:
+                cap.release()
+        self.caps, self.threads = [], []
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class LoadScreenshots:

@@ -527,9 +527,38 @@ class ClassificationDataset:
         return len(self.samples)
 
     def get_item(self, i: int, rng) -> Dict[str, np.ndarray]:
+        """Train: RandomResizedCrop + hflip + HSV jitter + random erasing
+        (reference augment.py:2403 classify_augmentations); val: short-side
+        resize + center crop (reference :2346 classify_transforms)."""
         path, label = self.samples[i]
         img = cv2.imread(path)
-        img = cv2.resize(img, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
-        if self.augment and rng.random() < 0.5:
-            img = np.fliplr(img)
+        h, w = img.shape[:2]
+        S = self.imgsz
+        if self.augment:
+            # RandomResizedCrop: area scale [0.08, 1], aspect [3/4, 4/3]
+            for _ in range(10):
+                area = h * w * rng.uniform(0.08, 1.0)
+                ar = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+                cw, ch = int(round(np.sqrt(area * ar))), int(round(np.sqrt(area / ar)))
+                if 0 < cw <= w and 0 < ch <= h:
+                    x0, y0 = int(rng.integers(0, w - cw + 1)), int(rng.integers(0, h - ch + 1))
+                    img = img[y0 : y0 + ch, x0 : x0 + cw]
+                    break
+            img = cv2.resize(img, (S, S), interpolation=cv2.INTER_LINEAR)
+            if rng.random() < 0.5:
+                img = np.ascontiguousarray(np.fliplr(img))
+            from spectrogram_yolov11_tpu.data.augment import augment_hsv
+
+            augment_hsv(img, 0.015, 0.4, 0.4, rng)
+            if rng.random() < 0.4:  # random erasing
+                ew, eh = (rng.uniform(0.05, 0.25, 2) * S).astype(int)
+                ex, ey = int(rng.integers(0, S - ew)), int(rng.integers(0, S - eh))
+                img[ey : ey + eh, ex : ex + ew] = rng.integers(0, 255, (eh, ew, 3), dtype=np.uint8)
+        else:
+            r = S / min(h, w)
+            img = cv2.resize(img, (max(S, int(round(w * r))), max(S, int(round(h * r)))),
+                             interpolation=cv2.INTER_LINEAR)
+            hh, ww = img.shape[:2]
+            y0, x0 = (hh - S) // 2, (ww - S) // 2
+            img = img[y0 : y0 + S, x0 : x0 + S]
         return {"img": np.ascontiguousarray(img[..., ::-1]), "cls": np.int32(label)}

@@ -460,10 +460,12 @@ class ClassificationValidator:
         dl = DataLoader(ds, batch_size=int(self.args.batch), shuffle=False, drop_last=False)
         model = self.model
 
+        k = min(5, int(getattr(model, "nc", 5)))  # "top-5" caps at nc (reference top5 semantics)
+
         @jax.jit
         def run(variables, imgs_u8):
             logits = model.apply(variables, imgs_u8.astype(jnp.float32) / 255.0, train=False)
-            return jax.lax.top_k(logits, 5)[1]
+            return jax.lax.top_k(logits, k)[1]
 
         targets, top5 = [], []
         for batch in dl:

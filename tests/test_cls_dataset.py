@@ -37,3 +37,19 @@ def test_classification_dataset_transforms(tmp_path, monkeypatch):
     v2 = val.get_item(0, np.random.default_rng(7))
     np.testing.assert_array_equal(v1["img"], v2["img"])  # deterministic val path
     assert int(a["cls"]) == int(train.samples[0][1])
+
+
+def test_classify_train_smoke(tmp_path, monkeypatch):
+    """1 epoch of classification training over the synthetic set: finite loss,
+    top1 accuracy computed (reference models/yolo/classify/train.py)."""
+    from spectrogram_yolov11_tpu.engine.classify import ClassificationTrainer
+    from spectrogram_yolov11_tpu.data import check_cls_dataset
+    from spectrogram_yolov11_tpu.utils import SETTINGS
+
+    monkeypatch.setitem(SETTINGS, "datasets_dir", str(tmp_path))
+    info = check_cls_dataset("cls-train")
+    t = ClassificationTrainer(overrides=dict(
+        model="yolo11n-cls.yaml", data=str(tmp_path / "cls-train"), imgsz=64, batch=8,
+        epochs=1, workers=0, project=str(tmp_path), name="cls", exist_ok=True, plots=False))
+    metrics = t.train()
+    assert np.isfinite(list(metrics.values())).all()

@@ -649,6 +649,10 @@ class SAM2Model(nn.Module):
     num_maskmem: int = 7
     mem_dim: int = 64
     max_obj_ptrs: int = 16
+    # SAM2.1 extras (build.py:292-294, enabled for sam2.1 checkpoints):
+    # spatial no-object memory embedding, projected + signed temporal
+    # encodings on object pointers
+    v2_1: bool = False
     dtype: Optional[Dtype] = None
 
     @property
@@ -677,6 +681,9 @@ class SAM2Model(nn.Module):
         self.maskmem_tpos_enc = self.param("maskmem_tpos_enc", init,
                                            (self.num_maskmem, 1, self.mem_dim), jnp.float32)
         self.no_obj_ptr = self.param("no_obj_ptr", init, (1, 256), jnp.float32)
+        if self.v2_1:
+            self.no_obj_embed_spatial = self.param("no_obj_embed_spatial", init, (1, self.mem_dim), jnp.float32)
+            self.obj_ptr_tpos_proj = nn.Dense(self.mem_dim, param_dtype=jnp.float32)
 
     # -- encoder ------------------------------------------------------------
 
@@ -771,8 +778,13 @@ class SAM2Model(nn.Module):
         # shared temporal sine pe (reference sam.py:736-754)
         P = obj_ptrs.shape[1]
         split = C // self.mem_dim
+        # sam2.1 uses SIGNED distances and projects a 256-d sine pe down to
+        # mem_dim (reference sam.py:715-743); sam2.0 uses |dt| at mem_dim
         t_norm = obj_ptr_tdiff.astype(jnp.float32) / max(self.max_obj_ptrs - 1, 1)
-        ptr_pe = get_1d_sine_pe(t_norm, self.mem_dim)  # (B, P, mem_dim)
+        if self.v2_1:
+            ptr_pe = self.obj_ptr_tpos_proj(get_1d_sine_pe(t_norm, 256))  # (B, P, mem_dim)
+        else:
+            ptr_pe = get_1d_sine_pe(jnp.abs(t_norm), self.mem_dim)  # (B, P, mem_dim)
         ptr_tokens = obj_ptrs.reshape(B, P, split, self.mem_dim).reshape(B, P * split, self.mem_dim)
         ptr_pos = jnp.repeat(ptr_pe, split, axis=1)
 
@@ -793,15 +805,19 @@ class SAM2Model(nn.Module):
         """Encode a frame + predicted mask into a bank entry (reference sam.py:784).
 
         Applies the build-time sigmoid temperature (scale 20, bias -10,
-        build.py:273-274), then the memory encoder. obj_score_logits is part
-        of the reference signature but only consumed by the sam2.1-only
-        no_obj_embed_spatial path, which is not ported (module docstring)."""
+        build.py:273-274), then the memory encoder; with v2_1, occluded frames
+        (obj score <= 0) blend in the spatial no-object embedding
+        (reference sam.py:818-824)."""
         _, _, pix_feat, _ = self.encode_image(img)
         m = jax.nn.sigmoid(high_res_mask) * 20.0 - 10.0
         m = jnp.transpose(m, (0, 2, 3, 1))  # (B, S, S, 1) NHWC
         feats, pos = self.memory_encoder(pix_feat, m, skip_mask_sigmoid=True)
         B, H, W, D = feats.shape
-        return feats.reshape(B, H * W, D), pos.reshape(H * W, D)
+        feats = feats.reshape(B, H * W, D)
+        if self.v2_1:
+            is_obj = (obj_score_logits > 0).astype(jnp.float32)[:, :, None]  # (B, 1, 1)
+            feats = feats + (1.0 - is_obj) * self.no_obj_embed_spatial[None]
+        return feats, pos.reshape(H * W, D)
 
     def __call__(self, img, points, labels):
         """Init-everything forward for nn.Module.init: runs every method once."""
@@ -831,8 +847,9 @@ class SAM2Predictor:
     mean = np.array([123.675, 116.28, 103.53], np.float32)
     std = np.array([58.395, 57.12, 57.375], np.float32)
 
-    def __init__(self, variant: str = "sam2_t", img_size: int = 512, variables=None, seed: int = 0):
-        self.model = SAM2Model(variant=variant, img_size=img_size)
+    def __init__(self, variant: str = "sam2_t", img_size: int = 512, variables=None, seed: int = 0,
+                 v2_1: bool = False):
+        self.model = SAM2Model(variant=variant, img_size=img_size, v2_1=v2_1)
         self.img_size = img_size
         self.variables = variables
         self._seed = seed
@@ -892,8 +909,9 @@ class SAM2VideoPredictor:
     (max_obj_ptrs - 1) frames' pointers with their frame distances.
     """
 
-    def __init__(self, variant: str = "sam2_t", img_size: int = 512, variables=None, seed: int = 0):
-        self.m = SAM2Model(variant=variant, img_size=img_size)
+    def __init__(self, variant: str = "sam2_t", img_size: int = 512, variables=None, seed: int = 0,
+                 v2_1: bool = False):
+        self.m = SAM2Model(variant=variant, img_size=img_size, v2_1=v2_1)
         self.img_size = img_size
         self.variables = variables
         self._seed = seed
@@ -1004,8 +1022,14 @@ class SAM2:
     def __new__(cls, model: str = "sam2_t", video: bool = False, img_size: int = 512):
         from pathlib import Path
 
-        variant = Path(str(model)).stem.replace("sam2.1", "sam2").replace("-", "_")
+        name = Path(str(model)).name
+        for ext in (".pt", ".ckpt", ".yaml"):  # NOT Path.stem: it eats "sam2.1"'s dot
+            if name.endswith(ext):
+                name = name[: -len(ext)]
+        stem = name
+        v2_1 = "sam2.1" in stem  # sam2.1_t etc. enable the 2.1 extras
+        variant = stem.replace("sam2.1", "sam2").replace("-", "_")
         if variant not in SAM2_VARIANTS:
             raise ValueError(f"unknown SAM2 variant {model!r}; options: {sorted(SAM2_VARIANTS)}")
         cls_ = SAM2VideoPredictor if video else SAM2Predictor
-        return cls_(variant=variant, img_size=img_size)
+        return cls_(variant=variant, img_size=img_size, v2_1=v2_1)

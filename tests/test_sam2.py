@@ -326,3 +326,24 @@ def test_sam2_mask_decoder_parity():
     np.testing.assert_allclose(np.asarray(ious), r_ious.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(tokens), r_tokens.numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(obj), r_obj.numpy(), atol=2e-4)
+
+
+@pytest.mark.slow
+def test_sam2_1_extras_video():
+    """sam2.1 extras: spatial no-object memory embedding + projected signed
+    temporal pointer encodings (reference build.py:292-294, sam.py:715,818)."""
+    import cv2
+
+    from spectrogram_yolov11_tpu.models.sam2 import SAM2
+
+    vp = SAM2("sam2.1_t", video=True, img_size=128)
+    assert vp.m.v2_1
+    frames = []
+    for t in range(2):
+        f = np.full((128, 128, 3), 50, np.uint8)
+        cv2.rectangle(f, (30 + 10 * t, 40), (70 + 10 * t, 80), (245, 235, 225), -1)
+        frames.append(f)
+    mask0, s0 = vp.add_new_points(frames[0], points=[[50, 60]])
+    mask1, s1 = vp.propagate(frames[1])
+    assert np.isfinite([s0, s1]).all() and mask1.shape == (1, 128, 128)
+    assert "no_obj_embed_spatial" in vp.variables["params"]

@@ -855,7 +855,8 @@ class SAM2Predictor:
         self._seed = seed
         self._image = None
         self._predict = jax.jit(
-            lambda v, img, pts, lab: self.model.apply(v, img, pts, lab, method=SAM2Model.predict),
+            lambda v, img, pts, lab, mm: self.model.apply(v, img, pts, lab, mm, method=SAM2Model.predict),
+            static_argnums=(4,),
         )
 
     def _ensure_variables(self):
@@ -882,16 +883,31 @@ class SAM2Predictor:
         self._ensure_variables()
         self._image = (jnp.asarray(x), scale, orig)
 
-    def prompt(self, points=None, labels=None, multimask_output: bool = True):
-        """Masks for point prompts in ORIGINAL pixel coords -> (masks, ious)."""
+    def prompt(self, points=None, labels=None, boxes=None, multimask_output: bool = True):
+        """Masks for point/box prompts in ORIGINAL pixel coords -> (masks, ious).
+
+        Boxes become corner-point pairs with labels 2/3, exactly the SAM2
+        convention (reference predict.py SAM2Predictor._prepare_prompts)."""
         assert self._image is not None, "call set_image() first"
+        assert points is not None or boxes is not None, "give points and/or boxes"
         img, scale, (h0, w0) = self._image
-        pts = np.atleast_2d(np.asarray(points, np.float32))[None] * scale
-        lab = (np.ones(pts.shape[:2], np.int32) if labels is None
-               else np.atleast_2d(np.asarray(labels, np.int32)))
-        pts = np.concatenate([pts, np.zeros((1, 1, 2), np.float32)], axis=1)
-        lab = np.concatenate([lab, -np.ones((1, 1), np.int32)], axis=1)
-        out_masks, out_ious, *_ = self._predict(self.variables, img, jnp.asarray(pts), jnp.asarray(lab))
+        parts_p, parts_l = [], []
+        if boxes is not None:
+            b = (np.atleast_2d(np.asarray(boxes, np.float32)) * scale).reshape(1, -1, 2)  # corner points
+            parts_p.append(b)
+            parts_l.append(np.tile(np.asarray([[2, 3]], np.int32), (1, b.shape[1] // 2)))
+        if points is not None:
+            p = np.atleast_2d(np.asarray(points, np.float32))[None] * scale
+            parts_p.append(p)
+            parts_l.append(np.ones(p.shape[:2], np.int32) if labels is None
+                           else np.atleast_2d(np.asarray(labels, np.int32)))
+        pts = np.concatenate(parts_p, axis=1)
+        lab = np.concatenate(parts_l, axis=1)
+        if boxes is None:  # SAM pads a not-a-point only for point-only prompts
+            pts = np.concatenate([pts, np.zeros((1, 1, 2), np.float32)], axis=1)
+            lab = np.concatenate([lab, -np.ones((1, 1), np.int32)], axis=1)
+        out_masks, out_ious, *_ = self._predict(self.variables, img, jnp.asarray(pts), jnp.asarray(lab),
+                                                bool(multimask_output))
         m = jax.image.resize(out_masks, (*out_masks.shape[:2], self.img_size, self.img_size), method="bilinear")
         nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
         m = jax.image.resize(m[:, :, :nh, :nw], (*out_masks.shape[:2], h0, w0), method="bilinear")

@@ -347,3 +347,19 @@ def test_sam2_1_extras_video():
     mask1, s1 = vp.propagate(frames[1])
     assert np.isfinite([s0, s1]).all() and mask1.shape == (1, 128, 128)
     assert "no_obj_embed_spatial" in vp.variables["params"]
+
+
+@pytest.mark.slow
+def test_sam2_box_prompt():
+    """Box prompts map to corner points with labels 2/3 (reference
+    SAM2Predictor._prepare_prompts)."""
+    import cv2
+
+    img = np.full((96, 120, 3), 60, np.uint8)
+    cv2.rectangle(img, (40, 30), (80, 70), (250, 240, 230), -1)
+    p = SAM2Predictor(img_size=128)
+    p.set_image(img)
+    masks, ious = p.prompt(boxes=[[40, 30, 80, 70]])
+    assert masks.shape == (1, 3, 96, 120) and np.isfinite(ious).all()
+    masks2, _ = p.prompt(points=[[60, 50]], boxes=[[40, 30, 80, 70]], multimask_output=False)
+    assert masks2.shape == (1, 1, 96, 120)

@@ -258,10 +258,27 @@ class Results(SimpleClass):
             cv2.imwrite(str(d / f"{stem}{'' if i == 0 else f'_{i}'}{suffix}"), self.orig_img[y1:y2, x1:x2])
 
     def save_txt(self, txt_file: str | Path, save_conf: bool = False) -> None:
+        """YOLO-format label rows (reference results.py save_txt): seg results
+        write normalized polygons, pose results append normalized keypoints."""
+        h, w = self.orig_img.shape[:2]
         lines = []
         if self.boxes is not None:
-            for b, xywhn in zip(self.boxes.data, self.boxes.xywhn):
-                line = (int(b[5]), *xywhn.tolist()) + ((float(b[4]),) if save_conf else ())
+            for i, (b, xywhn) in enumerate(zip(self.boxes.data, self.boxes.xywhn)):
+                if self.masks is not None and i < len(self.masks.data):
+                    from spectrogram_yolov11_tpu.data.converter import masks2segments
+
+                    (seg,) = masks2segments(self.masks.data[i : i + 1])
+                    coords = (seg / np.asarray([w, h], np.float32)).reshape(-1) if len(seg) else []
+                    line = (int(b[5]), *(float(v) for v in coords))
+                else:
+                    line = (int(b[5]), *xywhn.tolist())
+                if self.keypoints is not None and i < len(self.keypoints.data):
+                    kp = np.asarray(self.keypoints.data[i], np.float32).copy()
+                    kp[..., 0] /= w
+                    kp[..., 1] /= h
+                    line = line + tuple(float(v) for v in kp.reshape(-1))
+                if save_conf:
+                    line = line + (float(b[4]),)
                 lines.append(" ".join(f"{v:.6g}" if isinstance(v, float) else str(v) for v in line))
         if self.probs is not None:
             lines = [f"{self.probs.top1conf:.2f} {self.names.get(self.probs.top1, self.probs.top1)}"]

@@ -35,3 +35,27 @@ def test_to_xml():
     except ImportError:  # pandas.to_xml needs lxml; availability-gated
         return
     assert "LTE" in xml
+
+
+def test_save_txt_seg_and_pose(tmp_path):
+    """save_txt writes polygons for seg results and appends keypoints for pose
+    (reference results.py save_txt)."""
+    import cv2
+
+    img = np.zeros((80, 80, 3), np.uint8)
+    det = np.array([[10, 10, 40, 50, 0.9, 0]], np.float32)
+    mask = np.zeros((1, 80, 80), bool)
+    cv2.rectangle(mask[0].view(np.uint8).reshape(80, 80), (12, 12), (38, 48), 1, -1)
+    r = Results(img, "im.jpg", {0: "LTE"}, boxes=det, masks=mask)
+    f = tmp_path / "seg.txt"
+    r.save_txt(f)
+    parts = f.read_text().split()
+    assert parts[0] == "0" and len(parts) >= 9 and (len(parts) - 1) % 2 == 0  # polygon coords
+    assert all(0.0 <= float(v) <= 1.0 for v in parts[1:])
+
+    kpts = np.array([[[20, 20, 0.9], [30, 40, 0.8]]], np.float32)
+    r2 = Results(img, "im.jpg", {0: "LTE"}, boxes=det, keypoints=kpts)
+    f2 = tmp_path / "pose.txt"
+    r2.save_txt(f2, save_conf=True)
+    parts2 = f2.read_text().split()
+    assert len(parts2) == 1 + 4 + 6 + 1  # cls + xywhn + 2 kpts * 3 + conf

@@ -280,6 +280,13 @@ class Results(SimpleClass):
                 if save_conf:
                     line = line + (float(b[4]),)
                 lines.append(" ".join(f"{v:.6g}" if isinstance(v, float) else str(v) for v in line))
+        if self.obb is not None:
+            for i, corners in enumerate(self.obb.xyxyxyxy):
+                c = (np.asarray(corners, np.float32) / np.asarray([w, h], np.float32)).reshape(-1)
+                line = (int(self.obb.cls[i]), *(float(v) for v in c))
+                if save_conf:
+                    line = line + (float(self.obb.conf[i]),)
+                lines.append(" ".join(f"{v:.6g}" if isinstance(v, float) else str(v) for v in line))
         if self.probs is not None:
             lines = [f"{self.probs.top1conf:.2f} {self.names.get(self.probs.top1, self.probs.top1)}"]
         Path(txt_file).parent.mkdir(parents=True, exist_ok=True)

@@ -59,3 +59,15 @@ def test_save_txt_seg_and_pose(tmp_path):
     r2.save_txt(f2, save_conf=True)
     parts2 = f2.read_text().split()
     assert len(parts2) == 1 + 4 + 6 + 1  # cls + xywhn + 2 kpts * 3 + conf
+
+
+def test_save_txt_obb(tmp_path):
+    """OBB results write cls + 8 normalized corner coords (reference save_txt)."""
+    img = np.zeros((100, 200, 3), np.uint8)
+    obb = np.array([[100, 50, 60, 20, 0.3, 0.8, 1]], np.float32)  # cx cy w h angle conf cls
+    r = Results(img, "im.jpg", {0: "a", 1: "b"}, obb=obb)
+    f = tmp_path / "obb.txt"
+    r.save_txt(f, save_conf=True)
+    parts = f.read_text().split()
+    assert parts[0] == "1" and len(parts) == 1 + 8 + 1
+    assert abs(float(parts[-1]) - 0.8) < 1e-6

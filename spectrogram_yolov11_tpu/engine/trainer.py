@@ -52,6 +52,24 @@ from spectrogram_yolov11_tpu.utils import DEFAULT_CFG, LOGGER, TQDM, colorstr, i
 from spectrogram_yolov11_tpu.utils.callbacks import default_callbacks, run_callbacks
 
 
+def _intersect_variables(new: dict, old: dict) -> dict:
+    """Copy every leaf from `old` whose path AND shape match into `new`
+    (reference torch_utils.py:454 intersect_dicts): transfers backbone/neck
+    weights across an nc-rebuild while freshly-initialized head branches keep
+    their new shapes."""
+    import jax
+
+    flat_old = {tuple(str(k.key) for k in path): leaf
+                for path, leaf in jax.tree_util.tree_flatten_with_path(old)[0]}
+
+    def graft(path, leaf):
+        key = tuple(str(k.key) for k in path)
+        o = flat_old.get(key)
+        return o if o is not None and getattr(o, "shape", None) == leaf.shape else leaf
+
+    return jax.tree_util.tree_map_with_path(graft, new)
+
+
 def _resize_uint8_batch(imgs: np.ndarray, size: int) -> np.ndarray:
     """Host-side bilinear resize of a (B, S, S, 3) uint8 batch to (B, size, size, 3).
 
@@ -122,6 +140,18 @@ class BaseTrainer:
             LOGGER.info(f"Rebuilding pose head for dataset kpt_shape={self.data['kpt_shape']}")
             self.model = None
             self.variables = None
+        if self.model is not None and getattr(self.model, "nc", None) != self.data["nc"]:
+            # a facade-built model whose head doesn't match the dataset: rebuild
+            # with the data's nc and graft every shape-compatible leaf across
+            # (reference trainer get_model + intersect_dicts semantics) —
+            # without this the loss silently trains the wrong class count
+            LOGGER.info(f"Overriding model nc={self.model.nc} with dataset nc={self.data['nc']}")
+            old_vars = self.variables
+            cfg = {k: v for k, v in self.model.yaml.items() if k != "yaml_file"}
+            self.model = build_model(cfg, nc=self.data["nc"], verbose=False, task=self.task)
+            self.variables = self.model.init(jax.random.PRNGKey(self.args.seed), imgsz=64)
+            if old_vars is not None:
+                self.variables = _intersect_variables(self.variables, old_vars)
         if self.model is None:
             cfg = str(self.args.model or "yolo11n.yaml")
             if self.task == "pose" and self.data.get("kpt_shape"):

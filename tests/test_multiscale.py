@@ -39,3 +39,27 @@ def test_multiscale_train_smoke(tmp_path, monkeypatch):
     assert np.isfinite(list(t.label_loss.values())).all()
     # at least one non-native size was drawn over 16 iters (P(all 64) ~ (1/3)^16)
     assert seen and set(seen) <= {32, 96}
+
+
+def test_facade_train_rebuilds_for_dataset_nc():
+    """YOLO('yolo11n.yaml').train(data=nc-3-set) must rebuild the nc-80 facade
+    model for the dataset's class count and graft compatible weights across —
+    previously it silently trained the wrong head (reference trainer get_model
+    + intersect_dicts)."""
+    import numpy as np
+
+    from spectrogram_yolov11_tpu import YOLO
+    from spectrogram_yolov11_tpu.engine.trainer import _intersect_variables
+
+    m = YOLO("yolo11n.yaml")
+    assert m.model.nc == 80
+    res = m.train(data="shapes128.yaml", epochs=1, imgsz=64, batch=2, nbs=2, workers=0,
+                  fraction=0.1, val=False, save=False, plots=False, mosaic=0.0, close_mosaic=0)
+    assert m.model.nc == 3  # rebuilt for the dataset
+    assert np.isfinite(list(res.values())).all()
+
+    # _intersect_variables grafts matching-shape leaves and keeps new-shape ones
+    new = {"params": {"a": np.zeros((2, 2)), "b": np.zeros((3,))}}
+    old = {"params": {"a": np.ones((2, 2)), "b": np.ones((4,))}}
+    out = _intersect_variables(new, old)
+    assert (out["params"]["a"] == 1).all() and (out["params"]["b"] == 0).all()

@@ -98,12 +98,52 @@ def hungarian_match(pred_bboxes, pred_scores, gt_bboxes, gt_cls, mask_gt):
     giou = bbox_iou(pred_bboxes[:, :, None], gt_bboxes[:, None], xywh=True, GIoU=True)
     cost = MATCH_GAINS["class"] * cost_class + MATCH_GAINS["bbox"] * cost_bbox + MATCH_GAINS["giou"] * (1.0 - giou)
     counts = mask_gt.astype(jnp.int32).sum(-1)
-    # valid GTs are packed first (dataset pads at the tail), so slicing [:n] in
-    # the host callback addresses exactly the valid columns
-    rows = jax.pure_callback(
-        _lsa_host, jax.ShapeDtypeStruct((b, g), jnp.int32), cost, counts, vmap_method="sequential"
-    )
+    if _host_callbacks_supported():
+        # valid GTs are packed first (dataset pads at the tail), so slicing
+        # [:n] in the host callback addresses exactly the valid columns
+        return jax.pure_callback(
+            _lsa_host, jax.ShapeDtypeStruct((b, g), jnp.int32), cost, counts, vmap_method="sequential"
+        )
+    # the axon TPU backend has no host send/recv ("UNIMPLEMENTED: host
+    # callbacks"), so exact scipy LSA is unreachable from inside jit there.
+    # Device fallback: greedy global-minimum matching — repeatedly take the
+    # lowest-cost (query, gt) pair and mask its row+column. Not provably
+    # optimal like Hungarian, but a standard tight approximation for DETR
+    # matching costs; CPU training/tests keep the exact path above.
+    return _greedy_match(cost, mask_gt)
+
+
+def _greedy_match(cost, mask_gt):
+    """(B, nq, G) costs -> (B, G) query index per gt, greedy global-min order."""
+    b, nq, g = cost.shape
+    big = jnp.float32(1e9)
+    cost = jnp.where(mask_gt[:, None, :], cost.astype(jnp.float32), big)
+
+    def body(_, state):
+        c, rows = state
+        flat = c.reshape(b, nq * g)
+        idx = jnp.argmin(flat, axis=1)            # (B,) flattened (query, gt) argmin
+        q, col = idx // g, idx % g
+        valid = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0] < big
+        bidx = jnp.arange(b)
+        rows = rows.at[bidx, col].set(jnp.where(valid, q.astype(jnp.int32), rows[bidx, col]))
+        c = c.at[bidx, q, :].set(jnp.where(valid[:, None], big, c[bidx, q, :]))
+        c = c.at[bidx, :, col].set(jnp.where(valid[:, None], big, c[bidx, :, col]))
+        return c, rows
+
+    _, rows = jax.lax.fori_loop(0, g, body, (cost, jnp.zeros((b, g), jnp.int32)))
     return rows
+
+
+def _host_callbacks_supported() -> bool:
+    """pure_callback needs host send/recv, which the tunneled axon PJRT
+    backend does not implement."""
+    try:
+        import jax
+
+        return jax.default_backend() != "axon"
+    except Exception:  # pragma: no cover
+        return True
 
 
 def _layer_loss(pred_bboxes, pred_scores, gt_bboxes, gt_cls, mask_gt, nc: int, rows=None):

@@ -135,15 +135,23 @@ def _greedy_match(cost, mask_gt):
     return rows
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _host_callbacks_supported() -> bool:
     """pure_callback needs host send/recv, which the tunneled axon PJRT
-    backend does not implement."""
-    try:
-        import jax
+    backend does not implement (it raises UNIMPLEMENTED; it also reports
+    default_backend() == 'tpu', so probe the capability instead of the name)."""
+    import numpy as _np
 
-        return jax.default_backend() != "axon"
-    except Exception:  # pragma: no cover
-        return True
+    try:
+        out = jax.jit(
+            lambda x: jax.pure_callback(lambda y: y, jax.ShapeDtypeStruct((), jnp.float32), x)
+        )(jnp.float32(1.0))
+        return bool(_np.asarray(out) == 1.0)
+    except Exception:
+        return False
 
 
 def _layer_loss(pred_bboxes, pred_scores, gt_bboxes, gt_cls, mask_gt, nc: int, rows=None):

@@ -145,3 +145,18 @@ def test_masks2segments_parity_single_contour():
     assert len(seg) > 10 and np.isfinite(seg).all()
     (largest,) = masks2segments(m2, strategy="largest")
     assert len(largest) <= len(seg)
+
+
+def test_clip_boxes_preserves_trailing_columns():
+    """clip_boxes keeps conf/cls columns (round-1 advisor finding; reference
+    ops.py:335 semantics)."""
+    import numpy as np
+
+    from spectrogram_yolov11_tpu.ops.boxes import clip_boxes, xyxy2xywhn
+
+    det = np.array([[-5.0, -3.0, 120.0, 90.0, 0.9, 2.0]], np.float32)
+    out = np.asarray(clip_boxes(det, (80, 100)))
+    np.testing.assert_allclose(out[0], [0, 0, 100, 80, 0.9, 2.0])
+    n = np.asarray(xyxy2xywhn(det, w=100, h=80, clip=True))
+    assert n.shape == (1, 6) and n[0, 4] == np.float32(0.9) and n[0, 5] == 2.0
+    assert (n[0, :4] <= 1.0).all() and (n[0, :4] >= 0.0).all()

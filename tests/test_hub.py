@@ -68,3 +68,17 @@ def test_login_and_fmts(tmp_path, monkeypatch):
 def test_check_dataset(tmp_path, monkeypatch):
     hub = _patch_registry(tmp_path, monkeypatch)
     hub.check_dataset("shapes128.yaml", task="detect")  # raises on failure
+
+
+def test_export_model_roundtrip(tmp_path, monkeypatch):
+    """hub.export_model runs the real exporter over a registered checkpoint
+    and registers the artifact (reference hub/__init__.py:101)."""
+    import shutil
+
+    hub = _patch_registry(tmp_path, monkeypatch)
+    s = hub.HUBTrainingSession("exp-1")
+    shutil.copy2("runs_artifacts/spectrogram_yolo11n.ckpt", Path(s.model_url) / "best.ckpt")
+    out = hub.export_model("exp-1", format="ckpt")
+    assert out.exists()
+    got = hub.get_export("exp-1")
+    assert got["success"] and any(f.endswith(".ckpt") for f in got["files"])

@@ -80,11 +80,17 @@ class Tuner:
             LOGGER.info(f"Tuner iteration {it + 1}/{iterations}")
             m = YOLO(str(self.args.model or "yolo11n.yaml"))
             try:
-                metrics = m.train(
-                    data=self.args.data, epochs=epochs_per_iter,
-                    project=str(self.tune_dir), name=f"iter{it}", exist_ok=True,
-                    plots=False, save=False, val=True, **hyp, **train_kwargs,
-                )
+                # forward the user's full (non-mutated) train config — the
+                # reference passes train_args through (tuner.py __call__);
+                # previously imgsz/batch/etc. silently reset to defaults
+                skip = set(self.space) | {"model", "data", "epochs", "mode", "task",
+                                          "save_dir", "project", "name", "resume"}
+                call = {k: v for k, v in vars(self.args).items() if k not in skip and v is not None}
+                call.update(hyp)
+                call.update(train_kwargs)
+                call.update(project=str(self.tune_dir), name=f"iter{it}", exist_ok=True,
+                            plots=False, save=False, val=True)
+                metrics = m.train(data=self.args.data, epochs=epochs_per_iter, **call)
                 fitness = float(metrics.get("fitness", 0.0))
             except Exception as e:
                 LOGGER.warning(f"Tuner iteration failed: {e}")

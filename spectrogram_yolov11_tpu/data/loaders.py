@@ -36,12 +36,14 @@ class LoadImagesAndVideos:
             raise FileNotFoundError(f"source not found: {source}")
         self.files = files
         self.vid_stride = vid_stride
+        self.fps_map: dict = {}  # video path -> source FPS, for save-time VideoWriter
 
     def __iter__(self) -> Iterator[Tuple[str, np.ndarray, str]]:
         for f in self.files:
             suffix = Path(f).suffix[1:].lower()
             if suffix in VID_FORMATS:
                 cap = cv2.VideoCapture(f)
+                self.fps_map[f] = max((cap.get(cv2.CAP_PROP_FPS) or 30) / self.vid_stride, 1)
                 frame_i = 0
                 while True:
                     ok, frame = cap.read()

@@ -41,13 +41,27 @@ def _norm_on_device(imgs_u8_bgr):
     return imgs_u8_bgr[..., ::-1].astype(jnp.float32) / 255.0
 
 
-def _maybe_gray(batch: np.ndarray) -> np.ndarray:
+def _maybe_gray(batch: np.ndarray, state: list | None = None) -> np.ndarray:
     """Ship one channel when the batch is gray-replicated BGR (the fork's
-    spectrogram frames are): 3x less H2D for identical results. Verified per
-    batch, so mixed streams fall back to full RGB automatically."""
-    if batch.ndim == 4 and batch.shape[-1] == 3 and np.array_equal(batch[..., 0], batch[..., 1]) \
-            and np.array_equal(batch[..., 0], batch[..., 2]):
+    spectrogram frames are): 3x less H2D for identical results.
+
+    Gray batches are fully verified before slicing (correctness-critical);
+    genuinely-RGB sources pay only a tiny strided pixel probe, and once a
+    stream is seen RGB the sticky `state` cache skips even that (per-stream
+    list cell: None=unknown, False=RGB-for-good)."""
+    if batch.ndim != 4 or batch.shape[-1] != 3:
+        return batch
+    if state is not None and state[0] is False:
+        return batch
+    probe = batch[:, ::97, ::89]  # O(B*50*8) sample; any mismatch -> RGB, skip full scan
+    if not (np.array_equal(probe[..., 0], probe[..., 1]) and np.array_equal(probe[..., 0], probe[..., 2])):
+        if state is not None:
+            state[0] = False
+        return batch
+    if np.array_equal(batch[..., 0], batch[..., 1]) and np.array_equal(batch[..., 0], batch[..., 2]):
         return np.ascontiguousarray(batch[..., :1])
+    if state is not None:
+        state[0] = False
     return batch
 
 
@@ -212,6 +226,8 @@ class BasePredictor:
             self._device_fn = self._build_device_fn()
             self.warmup(batch_size)
         loader = load_inference_source(source, vid_stride=self.args.vid_stride)
+        self._loader = loader  # save path reads fps_map for VideoWriter
+        gray_state = [None]
         buf_imgs, buf_paths = [], []
 
         def flush():
@@ -221,7 +237,7 @@ class BasePredictor:
             t0 = time.perf_counter()
             n_real = len(buf_imgs)
             imgs = buf_imgs + [buf_imgs[-1]] * (batch_size - n_real)
-            batch = _maybe_gray(self.preprocess(imgs))
+            batch = _maybe_gray(self.preprocess(imgs), gray_state)
             if getattr(self.args, "visualize", False) and not getattr(self, "_visualized", False):
                 self._visualize_features(batch)
             t1 = time.perf_counter()
@@ -270,9 +286,10 @@ class BasePredictor:
                         frame = r.plot(**plot_kw)
                         wr = writers.get(str(p))
                         if wr is None:
+                            fps_map = getattr(getattr(self, "_loader", None), "fps_map", None) or {}
                             wr = writers[str(p)] = cv2.VideoWriter(
                                 str(save_dir / f"{stem}.mp4"), cv2.VideoWriter_fourcc(*"mp4v"),
-                                30, (frame.shape[1], frame.shape[0]))
+                                fps_map.get(str(p), 30), (frame.shape[1], frame.shape[0]))
                         wr.write(frame)
                         if self.args.save_frames:
                             (save_dir / f"{stem}_frames").mkdir(exist_ok=True)
@@ -349,9 +366,11 @@ class SegmentationPredictor(BasePredictor):
         if self._device_fn is None:
             self._device_fn = self._build_device_fn()
         loader = load_inference_source(source, vid_stride=self.args.vid_stride)
+        self._loader = loader
+        gray_state = [None]
         for path, img, _ in loader:
             t0 = time.perf_counter()
-            batch = _maybe_gray(self.preprocess([img]))
+            batch = _maybe_gray(self.preprocess([img]), gray_state)
             out = self._device_fn(self.variables, jnp.asarray(batch))
             out = jax.block_until_ready(out)
             speed = {"preprocess": 0.0, "inference": (time.perf_counter() - t0) * 1e3, "postprocess": 0.0}

@@ -654,7 +654,6 @@ class SAMPredictor:
             crop = cv2.resize(im[y0:y1, x0:x1], (S, S), interpolation=cv2.INTER_LINEAR)
             self.set_image(crop)
             emb = self._image_state[0]
-            pts_for_image = point_grids[layer_idx] * np.array([[w, h]], np.float32)  # crop coords
             pts_model = point_grids[layer_idx] * S  # the crop is resized to S x S
 
             crop_masks, crop_scores = [], []

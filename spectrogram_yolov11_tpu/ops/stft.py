@@ -104,10 +104,10 @@ def _iq_to_spectrogram_jit(
 # 16-stop viridis control points; linear interp on device
 _VIRIDIS = np.array(
     [
-        [0.267, 0.005, 0.329], [0.283, 0.131, 0.449], [0.262, 0.242, 0.521], [0.220, 0.343, 0.549],
-        [0.177, 0.438, 0.558], [0.143, 0.523, 0.556], [0.120, 0.607, 0.540], [0.166, 0.691, 0.497],
-        [0.320, 0.771, 0.411], [0.526, 0.833, 0.288], [0.762, 0.876, 0.137], [0.993, 0.906, 0.144],
-        [0.993, 0.906, 0.144], [0.993, 0.906, 0.144], [0.993, 0.906, 0.144], [0.993, 0.906, 0.144],
+        [0.267, 0.005, 0.329], [0.283, 0.100, 0.422], [0.277, 0.185, 0.490], [0.254, 0.265, 0.530],
+        [0.222, 0.339, 0.549], [0.191, 0.407, 0.556], [0.164, 0.471, 0.558], [0.139, 0.534, 0.555],
+        [0.121, 0.596, 0.544], [0.135, 0.659, 0.518], [0.208, 0.719, 0.473], [0.328, 0.774, 0.407],
+        [0.478, 0.821, 0.318], [0.647, 0.858, 0.210], [0.825, 0.885, 0.106], [0.993, 0.906, 0.144],
     ],
     np.float32,
 )

@@ -847,3 +847,92 @@ class TorchVision(nn.Module):
         if not self.unwrap or self.truncate < 2:
             y = jnp.mean(y, axis=(1, 2))  # avgpool (fc head dropped either way)
         return y
+
+
+class C3Ghost(nn.Module):
+    """C3 with GhostBottleneck inner blocks (reference: block.py:559)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = GhostBottleneck(c_, c_, dtype=self.dtype, name=f"m_{i}")(a, train)
+        return Conv(2 * c_, self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate((a, b), axis=-1), train)
+
+
+class C3TR(nn.Module):
+    """C3 whose inner stack is one TransformerBlock(c_, c_, 4, n)
+    (reference: block.py:549)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .transformer import TransformerBlock
+
+        c_ = int(self.c2 * self.e)
+        a = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        a = TransformerBlock(c_, c_, 4, self.n, dtype=self.dtype, name="m")(a, train)
+        return Conv(2 * c_, self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate((a, b), axis=-1), train)
+
+
+class ResNetBlock(nn.Module):
+    """ResNet bottleneck block, expansion e (reference: block.py:1285)."""
+
+    c1: int
+    c2: int
+    s: int = 1
+    e: int = 4
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c3 = self.e * self.c2
+        y = Conv(self.c1, self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(self.c2, self.c2, 3, self.s, p=1, dtype=self.dtype, name="cv2")(y, train)
+        y = Conv(self.c2, c3, 1, act=False, dtype=self.dtype, name="cv3")(y, train)
+        if self.s != 1 or self.c1 != c3:
+            sc = Conv(self.c1, c3, 1, self.s, act=False, dtype=self.dtype, name="shortcut_0")(x, train)
+        else:
+            sc = x
+        return jax.nn.relu(y + sc)
+
+
+class ResNetLayer(nn.Module):
+    """Stack of ResNet blocks; is_first = 7x7 stem + maxpool
+    (reference: block.py:1324)."""
+
+    c1: int
+    c2: int
+    s: int = 1
+    is_first: bool = False
+    n: int = 1
+    e: int = 4
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.is_first:
+            x = Conv(self.c1, self.c2, 7, 2, p=3, dtype=self.dtype, name="layer_0")(x, train)
+            return max_pool2d(jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf), 3, 2, 0)
+        x = ResNetBlock(self.c1, self.c2, self.s, e=self.e, dtype=self.dtype, name="layer_0")(x, train)
+        for i in range(1, self.n):
+            x = ResNetBlock(self.e * self.c2, self.c2, 1, e=self.e, dtype=self.dtype, name=f"layer_{i}")(x, train)
+        return x

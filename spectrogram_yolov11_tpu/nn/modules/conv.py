@@ -229,6 +229,66 @@ class LightConv(nn.Module):
         return DWConv(self.c2, self.c2, self.k, act=self.act, dtype=self.dtype, name="conv2")(x, train)
 
 
+class Conv2(nn.Module):
+    """Simplified RepConv: kxk conv + parallel 1x1 branch, shared BN+act
+    (reference: conv.py:643). XLA folds both convs at inference; the explicit
+    fuse_convs weight surgery of the torch original is unnecessary here."""
+
+    c1: int
+    c2: int
+    k: Union[int, Tuple[int, int]] = 3
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    d: int = 1
+    act: Union[bool, str] = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_dt = x.dtype
+        y = conv2d(x, self.c2, self.k, self.s, self.p, self.g, self.d, False, self.dtype, "conv")
+        y = y + conv2d(x, self.c2, 1, self.s, autopad(1, self.p, self.d), self.g, self.d, False, self.dtype, "cv2")
+        y = batch_norm(y, train)
+        return get_act(self.act)(y).astype(self.dtype or in_dt)
+
+
+class DWConvTranspose2d(nn.Module):
+    """Depthwise transpose convolution, groups=gcd(c1, c2) (reference:
+    conv.py:943). Raw torch nn.ConvTranspose2d semantics: bias=True, no
+    BN/act; output size (in-1)*s - 2*p1 + k + p2.
+
+    Implemented as an input-dilated grouped conv (lhs_dilation=s, spatially
+    flipped kernel) because that is the form XLA lowers natively with
+    feature_group_count; flax ConvTranspose has no groups support."""
+
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+    p1: int = 0
+    p2: int = 0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g = math.gcd(self.c1, self.c2)
+        kk, ss = _pair(self.k), _pair(self.s)
+        # Stored pre-flip: kernel[ky,kx,i,j*c2/g+o] = W_torch[j*c1/g+i, o, ky, kx]
+        w = self.param("kernel", nn.initializers.lecun_normal(), (*kk, self.c1 // g, self.c2), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.c2,), jnp.float32)
+        dt = self.dtype or x.dtype
+        pad = [
+            (kk[0] - 1 - self.p1, kk[0] - 1 - self.p1 + self.p2),
+            (kk[1] - 1 - self.p1, kk[1] - 1 - self.p1 + self.p2),
+        ]
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), jnp.flip(w, (0, 1)).astype(dt),
+            window_strides=(1, 1), padding=pad, lhs_dilation=ss,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=g)
+        return y + b.astype(dt)
+
+
 class ConvTranspose(nn.Module):
     """ConvTranspose2d + optional BN + act (reference: conv.py:951)."""
 

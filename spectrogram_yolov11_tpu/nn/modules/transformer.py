@@ -319,3 +319,43 @@ class DeformableTransformerDecoderLayer(nn.Module):
         tgt2 = nn.Dense(self.d_ffn, dtype=self.dtype, param_dtype=jnp.float32, name="linear1")(embed)
         tgt2 = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name="linear2")(jax.nn.relu(tgt2))
         return nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, param_dtype=jnp.float32, name="norm3")(embed + tgt2)
+
+
+class TransformerLayer(nn.Module):
+    """LayerNorm-free transformer layer (reference: transformer.py:118):
+    separate q/k/v projections feeding packed MHA, residual 2-layer MLP."""
+
+    c: int
+    num_heads: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        dense = lambda name: nn.Dense(self.c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        q, k, v = dense("q")(x), dense("k")(x), dense("v")(x)
+        x = MultiheadAttention(self.c, self.num_heads, dtype=self.dtype, name="ma")(q, k, v) + x
+        return dense("fc2")(dense("fc1")(x)) + x
+
+
+class TransformerBlock(nn.Module):
+    """ViT-style block over flattened spatial tokens with a learnable linear
+    position embedding (reference: transformer.py:137). Used by C3TR."""
+
+    c1: int
+    c2: int
+    num_heads: int = 4
+    num_layers: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.c1 != self.c2:
+            from .conv import Conv
+
+            x = Conv(self.c1, self.c2, dtype=self.dtype, name="conv")(x, train)
+        b, h, w, c = x.shape
+        p = x.reshape(b, h * w, c)
+        p = p + nn.Dense(self.c2, dtype=self.dtype, param_dtype=jnp.float32, name="linear")(p)
+        for i in range(self.num_layers):
+            p = TransformerLayer(self.c2, self.num_heads, dtype=self.dtype, name=f"tr_{i}")(p)
+        return p.reshape(b, h, w, self.c2)

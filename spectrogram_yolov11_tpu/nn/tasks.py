@@ -39,11 +39,13 @@ from spectrogram_yolov11_tpu.utils import LOGGER, make_divisible, yaml_load
 MODULE_REGISTRY: Dict[str, Any] = {
     # conv family
     "Conv": M.Conv,
+    "Conv2": M.Conv2,
     "ConvE": M.ConvE,
     "ConvGN": M.ConvGN,
     "DWConv": M.DWConv,
     "LightConv": M.LightConv,
     "ConvTranspose": M.ConvTranspose,
+    "DWConvTranspose2d": M.DWConvTranspose2d,
     "Focus": M.Focus,
     "GhostConv": M.GhostConv,
     "RepConv": M.RepConv,
@@ -60,7 +62,10 @@ MODULE_REGISTRY: Dict[str, Any] = {
     "C2": M.C2,
     "C2f": M.C2f,
     "C3": M.C3,
+    "C3Ghost": M.C3Ghost,
+    "C3TR": M.C3TR,
     "C3k": M.C3k,
+    "ResNetLayer": M.ResNetLayer,
     "C3k2": M.C3k2,
     "C2PSA": M.C2PSA,
     "C2fPSA": M.C2fPSA,
@@ -93,6 +98,7 @@ MODULE_REGISTRY: Dict[str, Any] = {
     # transformer family (RT-DETR)
     "AIFI": M.AIFI,
     "TransformerEncoderLayer": M.TransformerEncoderLayer,
+    "TransformerBlock": M.TransformerBlock,
     # heads
     "Detect": M.Detect,
     "Segment": M.Segment,
@@ -150,10 +156,11 @@ MODULE_REGISTRY: Dict[str, Any] = {
 }
 
 BASE_MODULES = {
-    M.Conv, M.ConvE, M.ConvGN, M.ConvTranspose, M.GhostConv, M.Bottleneck, M.GhostBottleneck,
+    M.Conv, M.Conv2, M.ConvE, M.ConvGN, M.ConvTranspose, M.DWConvTranspose2d, M.GhostConv,
+    M.Bottleneck, M.GhostBottleneck,
     M.SPP, M.SPPF, M.C2fPSA, M.C2PSA, M.DWConv, M.Focus, M.BottleneckCSP, M.C1, M.C2, M.C2f,
-    M.C3k2, M.C3, M.C3k, M.RepC3, M.PSA, M.CBAM, M.SCDown, M.C2fCIB, M.Classify, M.LightConv,
-    M.RepConv, M.C2fAttn,
+    M.C3k2, M.C3, M.C3Ghost, M.C3TR, M.C3k, M.RepC3, M.PSA, M.CBAM, M.SCDown, M.C2fCIB, M.Classify,
+    M.LightConv, M.RepConv, M.C2fAttn,
     # fork modules registered as base modules (reference nn/tasks.py:988-1051)
     M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN, M.C3f, M.C3x,
     M.RecycleConv, M.GhostConvHCA, M.LDConv, M.Cross_AKConv, M.Mix_SPPF, M.SELayer, M.SaELayer,
@@ -162,7 +169,8 @@ BASE_MODULES = {
     M.MaxHCoordAtt, M.AKCBAM, M.C3GC,
 }
 REPEAT_MODULES = {
-    M.BottleneckCSP, M.C1, M.C2, M.C2f, M.C3k2, M.C3, M.C3x, M.RepC3, M.C2fPSA, M.C2fCIB, M.C2PSA, M.C3k,
+    M.BottleneckCSP, M.C1, M.C2, M.C2f, M.C3k2, M.C3, M.C3Ghost, M.C3TR, M.C3x, M.RepC3, M.C2fPSA,
+    M.C2fCIB, M.C2PSA, M.C3k,
     M.C3k2GC, M.C3MSCk2, M.XCBAM2C2f, M.C3GC, M.C2fAttn,
 }
 HEAD_MODULES = {M.Detect, M.Segment, M.Pose, M.OBB}
@@ -299,6 +307,10 @@ def parse_model(d: dict, ch: int, verbose: bool = True) -> Tuple[List[LayerSpec]
             if cls is M.HGBlock:
                 args.insert(4, n)
                 n = 1
+        elif cls is M.ResNetLayer:
+            # reference nn/tasks.py:1122 — YAML carries full (c1, c2, s, is_first, n);
+            # output width is c2 for the stem layer, e*c2 (e=4) for block stacks
+            c2 = args[1] if args[3] else args[1] * 4
         elif cls is M.AIFI:
             # reference: args = [ch[f], *args] (nn/tasks.py:1114)
             c2 = ch_list[f]
@@ -459,6 +471,15 @@ class BaseModel:
         self.stride = self._calibrate_stride()
         self.args: dict = {}
 
+    def set_dtype(self, dtype: Optional[Any]) -> "BaseModel":
+        """Rebuild the compute graph at a new activation dtype. Params are
+        dtype-independent (flax param_dtype is always f32), so existing
+        variables keep working — only the traced compute changes."""
+        if dtype != self.dtype:
+            self.dtype = dtype
+            self.graph = YOLOGraph(specs=tuple(self.specs), save=tuple(self.save), dtype=dtype)
+        return self
+
     # -- shape/stride calibration (reference: nn/tasks.py:354 dummy forward) --
     def _calibrate_stride(self) -> np.ndarray:
         if self.head_spec.cls not in HEAD_MODULES:
@@ -552,14 +573,22 @@ class ClassificationModel(BaseModel):
         return np.array([1.0])
 
 
+_UNSET = object()  # "not resolved yet" sentinel for the CLIP encoder cache
+_CLIP_TEXT_ENCODER: Any = _UNSET
+
+
 class WorldModel(BaseModel):
     """YOLO-World open-vocabulary detection model (reference: nn/tasks.py:629).
 
-    The reference encodes class names with CLIP ViT-B/32 at set_classes time;
-    this zero-egress build substitutes a deterministic pseudo-embedding
-    (seeded from each class string's hash, L2-normalized) so the full config
-    family parses, forwards, and trains offline. Swap `text_embeddings` for
-    cached CLIP tensors to reproduce open-vocabulary transfer.
+    The reference encodes class names with CLIP ViT-B/32 at set_classes time.
+    Here the text tower is the flax CLIP transformer in
+    nn/modules/clip_text.py (parity-tested vs HF CLIPTextModelWithProjection):
+    point SETTINGS['clip_weights'] / $SYT_CLIP_WEIGHTS at a converted CLIP
+    checkpoint (and optionally $CLIP_BPE_PATH at the BPE merge table) to get
+    real open-vocabulary transfer. Without weights — this image is
+    zero-egress — a deterministic pseudo-embedding (seeded from each class
+    string's hash, L2-normalized) keeps the config family parsing, forwarding
+    and training offline.
     """
 
     task = "world"
@@ -569,8 +598,36 @@ class WorldModel(BaseModel):
         self.txt_feats = self.text_embeddings([f"object{i}" for i in range(self.nc)])
 
     @staticmethod
+    def _clip_encoder():
+        """Resolve (and cache) the CLIP text encoder when weights are
+        configured; None otherwise."""
+        global _CLIP_TEXT_ENCODER
+        if _CLIP_TEXT_ENCODER is not _UNSET:
+            return _CLIP_TEXT_ENCODER
+        import os
+
+        from spectrogram_yolov11_tpu.utils import SETTINGS
+
+        path = os.environ.get("SYT_CLIP_WEIGHTS") or SETTINGS.get("clip_weights")
+        enc = None
+        if path and Path(path).exists():
+            from spectrogram_yolov11_tpu.nn.modules.clip_text import load_clip_encoder
+
+            try:
+                enc = load_clip_encoder(path)
+                LOGGER.info(f"WorldModel: CLIP text tower loaded from {path}")
+            except Exception as e:  # fall back rather than break offline training
+                LOGGER.warning(f"WorldModel: failed to load CLIP weights from {path}: {e}")
+        _CLIP_TEXT_ENCODER = enc
+        return enc
+
+    @staticmethod
     def text_embeddings(texts, ct: int = 512) -> np.ndarray:
-        """Deterministic offline stand-in for CLIP text encoding: (1, K, ct)."""
+        """Class names -> (1, K, ct) unit embeddings: CLIP when configured,
+        deterministic hash stand-in otherwise."""
+        enc = WorldModel._clip_encoder()
+        if enc is not None:
+            return enc.encode([str(t) for t in texts])[None].astype(np.float32)
         import hashlib
 
         rows = []

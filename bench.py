@@ -60,7 +60,8 @@ import numpy as np
 
 IMGSZ = 640
 SRC_H, SRC_W = 720, 1280
-BATCHES = (8, 16, 32, 64)  # the tunnel's per-dispatch latency favors big batches
+BATCHES = (16, 64, 128)  # the tunnel's per-dispatch latency favors big batches
+CHIP_BATCHES = (32, 128, 256)  # round-3 profile: throughput plateaus ~bs128 (0.20 ms/img)
 N_ITERS, WARMUP = 48, 8
 GFLOPS_PER_IMG = 6.5
 PEAK_TFLOPS = 197.0  # TPU v5e bf16
@@ -191,7 +192,7 @@ def main() -> None:
     # pixel is tied to the loop index so XLA can't hoist the pipeline out of
     # the scan as loop-invariant. Best of the batch sweep, best of 3 passes
     # (the chip sits behind a shared tunnel with visible scheduling noise).
-    reps = 32
+    reps = 16
 
     def measure_on_chip(batch: int) -> float:
         frames = _load_frames(batch)
@@ -220,20 +221,26 @@ def main() -> None:
         return best
 
     best_batch = max(results, key=results.get)
-    chip = {b: measure_on_chip(b) for b in (16, 32)}
+    chip = {b: measure_on_chip(b) for b in CHIP_BATCHES}
     chip_batch = max(chip, key=chip.get)
     dev_only = chip[chip_batch]
 
     baseline = 667.0  # T4-TRT10 yolo11n, inference-only (BASELINE.md)
     mfu = dev_only * GFLOPS_PER_IMG * 1e9 / (PEAK_TFLOPS * 1e12)
+    # Roofline context (round-3 profile, PROGRESS notes): XLA cost_analysis
+    # reports 6.45 GFLOPs/img and ~485 MB/img logical bytes accessed for the
+    # forward at bs32 (incl. conv window re-reads); at the bs>=128 plateau the
+    # measured 0.20 ms/img implies ~120 MB/img of true HBM traffic at the v5e's
+    # ~820 GB/s — the pipeline is memory-bound, not MXU-bound, which is why
+    # batch (not precision) was the big lever over round 2.
     print(
         json.dumps(
             {
                 "metric": (
                     f"images/sec/chip on-device pipeline (normalize+infer+decode+NMS) {tag} 640px "
                     f"bf16 bs{chip_batch}, {reps} pipelines in one XLA scan, single D2H fence, "
-                    f"mfu~{mfu:.3f}; host-fed-over-tunnel e2e "
-                    f"{round(results[best_batch])} img/s bs{best_batch}"
+                    f"measured MFU {mfu:.3f} (memory-bound per roofline in bench.py); "
+                    f"host-fed-over-tunnel e2e {round(results[best_batch])} img/s bs{best_batch}"
                     f"{' 1ch-spectrogram-upload' if gray_ok else ''} "
                     f"(sweep {({k: round(v) for k, v in sorted(results.items())})}) — the dev-harness "
                     f"tunnel adds ~50ms/call latency a host-attached deployment does not have"
@@ -241,6 +248,10 @@ def main() -> None:
                 "value": round(dev_only, 1),
                 "unit": "img/s",
                 "vs_baseline": round(dev_only / baseline, 3),
+                "value_on_chip": round(dev_only, 1),
+                "value_e2e_tunnel": round(results[best_batch], 1),
+                "mfu": round(mfu, 4),
+                "chip_sweep": {str(k): round(v, 1) for k, v in sorted(chip.items())},
             }
         )
     )

@@ -48,6 +48,86 @@ def export_formats() -> dict:
     }
 
 
+def build_inference_fn(model, *, nms: bool = False, conf: float = 0.25, iou: float = 0.7, max_det: int = 300):
+    """Task-complete inference graph builder (reference: per-head
+    Detect.export paths + NMSModel wrapper, exporter.py:1525). Shared by the
+    Exporter and AutoBackend so the exported artifact and the reimported
+    backend produce the SAME outputs. Static output shapes:
+
+    task      nms=False                            nms=True
+    --------  -----------------------------------  ------------------------------
+    classify  probs (B, nc)                        same
+    detect    preds (B, A, 4+nc)                   det (B,max_det,6), n_valid (B,)
+    world     preds (B, A, 4+nc) (classes baked)   det (B,max_det,6), n_valid (B,)
+    v10/e2e   det (B, max_det, 6), n_valid         same (NMS-free head)
+    segment   preds+coeffs (B,A,4+nc+nm), proto    det, n_valid, masks (B,max_det,H/4,W/4)
+    pose      preds+kpts (B, A, 4+nc+nk*nd)        det+kpts (B,max_det,6+nk*nd), n_valid
+    obb       rboxes (B, A, 4+nc+1)                det (B,max_det,7 cxcywh,angle,conf,cls), n_valid
+    """
+    strides = tuple(float(s) for s in model.stride)
+    embed_nms = bool(nms)
+    task = model.task
+    nc = model.nc
+
+    def fwd(variables, imgs_u8):
+        x = imgs_u8.astype(jnp.float32) / 255.0
+        out = model.apply(variables, x, train=False)
+        if task == "classify":
+            return jax.nn.softmax(out if not isinstance(out, tuple) else out[0], axis=-1)
+
+        if getattr(model, "end2end", False):  # v10: NMS-free top-k head
+            from spectrogram_yolov11_tpu.ops.decode import decode_e2e, nms_free_postprocess
+
+            preds = decode_e2e(out["one2one"], nc=nc, strides=strides)
+            det = nms_free_postprocess(preds, max_det, nc)
+            nv = (det[..., 4] > conf).sum(-1).astype(jnp.int32)
+            return det, nv
+
+        if task == "segment":
+            from spectrogram_yolov11_tpu.ops.nms import non_max_suppression_extras
+
+            feats, mc, proto = out
+            preds = decode_detections(feats, nc=nc, strides=strides)
+            preds = jnp.concatenate([preds, mc], axis=-1)
+            if not embed_nms:
+                return preds, proto
+            det, nv = non_max_suppression_extras(preds, conf_thres=conf, iou_thres=iou, nc=nc, max_det=max_det)
+            masks = jax.nn.sigmoid(jnp.einsum("bdk,bhwk->bdhw", det[..., 6:], proto))
+            return det[..., :6], nv, masks
+
+        if task == "pose":
+            from spectrogram_yolov11_tpu.ops.decode import decode_kpts
+            from spectrogram_yolov11_tpu.ops.nms import non_max_suppression_extras
+
+            feats, kpt_raw = out
+            nk, nd = getattr(model, "kpt_shape", (17, 3))
+            shapes = [(f.shape[1], f.shape[2]) for f in feats]
+            kpts = decode_kpts(kpt_raw, (nk, nd), shapes, strides)
+            preds = decode_detections(feats, nc=nc, strides=strides)
+            preds = jnp.concatenate([preds, kpts.reshape(kpts.shape[0], kpts.shape[1], -1)], axis=-1)
+            if not embed_nms:
+                return preds
+            return non_max_suppression_extras(preds, conf_thres=conf, iou_thres=iou, nc=nc, max_det=max_det)
+
+        if task == "obb":
+            from spectrogram_yolov11_tpu.ops.decode import decode_obb
+            from spectrogram_yolov11_tpu.ops.nms import nms_rotated
+
+            feats, angle_raw = out
+            preds = decode_obb(feats, angle_raw, nc=nc, strides=strides)
+            if not embed_nms:
+                return preds
+            return nms_rotated(preds, conf_thres=conf, iou_thres=iou, nc=nc, max_det=max_det)
+
+        feats = out[0] if isinstance(out, tuple) else out
+        preds = decode_detections(feats, nc=nc, strides=strides)
+        if embed_nms:
+            return non_max_suppression(preds, conf_thres=conf, iou_thres=iou, nc=nc, max_det=max_det)
+        return preds
+
+    return fwd
+
+
 class Exporter:
     def __init__(self, model, variables, overrides: Optional[dict] = None):
         self.model = model
@@ -56,26 +136,10 @@ class Exporter:
         self.imgsz = int(self.args.imgsz if isinstance(self.args.imgsz, int) else self.args.imgsz[0])
 
     def _forward_fn(self):
-        model = self.model
-        strides = tuple(float(s) for s in model.stride)
-        embed_nms = bool(self.args.nms)
-        conf = float(self.args.conf or 0.25)
-        iou = float(self.args.iou)
-        max_det = int(self.args.max_det)
-        dtype = jnp.bfloat16 if self.args.half else jnp.float32
-
-        def fwd(variables, imgs_u8):
-            x = imgs_u8.astype(jnp.float32) / 255.0
-            out = model.apply(variables, x, train=False)
-            feats = out[0] if isinstance(out, tuple) else out
-            if model.task == "classify":
-                return jax.nn.softmax(feats, axis=-1)
-            preds = decode_detections(feats, nc=model.nc, strides=strides)
-            if embed_nms:
-                return non_max_suppression(preds, conf_thres=conf, iou_thres=iou, nc=model.nc, max_det=max_det)
-            return preds
-
-        return fwd
+        return build_inference_fn(
+            self.model, nms=bool(self.args.nms), conf=float(self.args.conf or 0.25),
+            iou=float(self.args.iou), max_det=int(self.args.max_det),
+        )
 
     def __call__(self) -> str:
         fmt = str(self.args.format or "stablehlo").lower()
@@ -87,6 +151,8 @@ class Exporter:
                 f"format '{fmt}' needs optional deps not present in this environment "
                 f"(availability matrix: { {k: v['available'] for k, v in formats.items()} })"
             )
+        if self.args.half:
+            self.model.set_dtype(jnp.bfloat16)  # bf16 compute in the exported graph
         save_dir = get_save_dir(self.args, name="export")
         save_dir.mkdir(parents=True, exist_ok=True)
         stem = Path(str(self.args.model or "model")).stem or "model"
@@ -142,6 +208,9 @@ class Exporter:
         converter = tf.lite.TFLiteConverter.from_saved_model(str(sm))
         if self.args.int8:
             converter.optimizations = [tf.lite.Optimize.DEFAULT]
+            rep = self._representative_dataset()
+            if rep is not None:  # full-integer PTQ with a real calibration set
+                converter.representative_dataset = rep
         blob = converter.convert()
         p = base.with_suffix(".tflite")
         p.write_bytes(blob)
@@ -164,3 +233,34 @@ class Exporter:
         tf2onnx.convert.from_function(f, input_signature=f.input_signature, output_path=str(p),
                                       opset=int(self.args.opset or 17))
         return p
+
+    def _representative_dataset(self, n: int = 64):
+        """INT8 calibration generator over the configured dataset's val images
+        (reference: exporter.py:817-963 INT8 calibrator dataloader). Returns
+        None when no dataset is resolvable — the converter then falls back to
+        dynamic-range quantization."""
+        try:
+            import cv2
+            import numpy as np
+
+            from spectrogram_yolov11_tpu.data.dataset import check_det_dataset
+            from spectrogram_yolov11_tpu.data.augment import letterbox
+
+            data = check_det_dataset(str(self.args.data or "spectrogram_synth.yaml"))
+            imgs = sorted(Path(data.get("val") or data["train"]).rglob("*.jpg"))[:n]
+            if not imgs:
+                return None
+        except Exception as e:
+            LOGGER.warning(f"int8 calibration dataset unavailable ({e}); using dynamic-range quantization")
+            return None
+        imgsz = self.imgsz
+
+        def gen():
+            for p in imgs:
+                im = cv2.imread(str(p))
+                if im is None:
+                    continue
+                lb, _, _ = letterbox(im, (imgsz, imgsz))
+                yield [lb[None].astype("uint8")]
+
+        return gen

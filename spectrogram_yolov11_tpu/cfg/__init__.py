@@ -52,7 +52,7 @@ CFG_FRACTION_KEYS = {
 }
 CFG_INT_KEYS = {
     "epochs", "patience", "workers", "seed", "close_mosaic", "mask_ratio", "max_det", "vid_stride",
-    "line_width", "nbs", "save_period",
+    "line_width", "nbs", "save_period", "pre_nms_topk",
 }
 CFG_BOOL_KEYS = {
     "save", "exist_ok", "verbose", "deterministic", "single_cls", "rect", "cos_lr", "overlap_mask",

@@ -109,7 +109,8 @@ class BasePredictor:
             return run_e2e
 
         nms_kw = dict(conf_thres=conf, iou_thres=iou, nc=nc, multi_label=False,
-                      agnostic=bool(args.agnostic_nms), max_det=max_det, classes=classes)
+                      agnostic=bool(args.agnostic_nms), max_det=max_det, classes=classes,
+                      pre_nms_topk=int(getattr(args, 'pre_nms_topk', 0) or 0) or 1024)
 
         if getattr(args, "augment", False):
             import math

@@ -28,14 +28,21 @@ def _install_torchvision_stub():
     ops = types.ModuleType("torchvision.ops")
 
     def nms(boxes: "torch.Tensor", scores: "torch.Tensor", iou_threshold: float) -> "torch.Tensor":
-        """Pure-torch greedy NMS (same semantics as torchvision.ops.nms)."""
-        order = scores.argsort(descending=True)
-        keep = []
-        suppressed = torch.zeros(len(boxes), dtype=torch.bool)
+        """Pure-torch greedy NMS (same semantics as torchvision.ops.nms).
+
+        Iterates only over KEPT boxes (argmax of still-alive scores), so cost
+        is O(n_kept * n) — dense 10k-candidate val scenes stay inside the
+        reference's NMS time limit (utils/ops.py:254)."""
+        n = len(boxes)
         areas = (boxes[:, 2] - boxes[:, 0]).clamp(min=0) * (boxes[:, 3] - boxes[:, 1]).clamp(min=0)
-        for oi in order.tolist():
-            if suppressed[oi]:
-                continue
+        # tie-break like the sort-based original: earlier index wins on equal
+        # scores (argmax returns the first maximal element)
+        live_scores = scores.double() - torch.arange(n, dtype=torch.float64) * 1e-12
+        alive = torch.ones(n, dtype=torch.bool)
+        keep = []
+        neg = torch.tensor(float("-inf"), dtype=torch.float64)
+        while bool(alive.any()):
+            oi = int(torch.where(alive, live_scores, neg).argmax())
             keep.append(oi)
             xx1 = torch.maximum(boxes[oi, 0], boxes[:, 0])
             yy1 = torch.maximum(boxes[oi, 1], boxes[:, 1])
@@ -43,7 +50,8 @@ def _install_torchvision_stub():
             yy2 = torch.minimum(boxes[oi, 3], boxes[:, 3])
             inter = (xx2 - xx1).clamp(min=0) * (yy2 - yy1).clamp(min=0)
             iou = inter / (areas[oi] + areas - inter + 1e-7)
-            suppressed |= iou > iou_threshold
+            alive &= ~(iou > iou_threshold)
+            alive[oi] = False
         return torch.tensor(keep, dtype=torch.long)
 
     ops.nms = nms

@@ -130,7 +130,18 @@ class BaseTrainer:
         self.csv = self.save_dir / "results.csv"
 
     # -- model/dataset wiring ---------------------------------------------
+    @property
+    def compute_dtype(self):
+        """bf16 mixed precision (reference AMP, trainer.py:264-273): amp=True
+        selects bfloat16 compute while flax keeps params/EMA/optimizer f32
+        (SURVEY §7.7) — no grad scaler needed on TPU."""
+        return jnp.bfloat16 if getattr(self.args, "amp", True) else None
+
     def setup_model(self):
+        if self.model is not None:
+            # facade-built models arrive at whatever dtype predict used;
+            # retrace the graph at the training precision (params unchanged)
+            self.model.set_dtype(self.compute_dtype)
         if (
             self.model is not None
             and self.task == "pose"
@@ -148,7 +159,8 @@ class BaseTrainer:
             LOGGER.info(f"Overriding model nc={self.model.nc} with dataset nc={self.data['nc']}")
             old_vars = self.variables
             cfg = {k: v for k, v in self.model.yaml.items() if k != "yaml_file"}
-            self.model = build_model(cfg, nc=self.data["nc"], verbose=False, task=self.task)
+            self.model = build_model(cfg, nc=self.data["nc"], verbose=False, task=self.task,
+                                     dtype=self.compute_dtype)
             self.variables = self.model.init(jax.random.PRNGKey(self.args.seed), imgsz=64)
             if old_vars is not None:
                 self.variables = _intersect_variables(self.variables, old_vars)
@@ -160,7 +172,8 @@ class BaseTrainer:
                 d = yaml_model_load(cfg)
                 d["kpt_shape"] = list(self.data["kpt_shape"])
                 cfg = d
-            self.model = build_model(cfg, nc=self.data["nc"], verbose=False, task=self.task)
+            self.model = build_model(cfg, nc=self.data["nc"], verbose=False, task=self.task,
+                                     dtype=self.compute_dtype)
         self.model.names = self.data["names"]
         if self.variables is None:
             self.variables = self.model.init(jax.random.PRNGKey(self.args.seed), imgsz=64)
@@ -280,9 +293,16 @@ class BaseTrainer:
             # resumed past the close_mosaic boundary (reference trainer.py:750-756)
             LOGGER.info("Closing dataloader mosaic (resumed past close_mosaic boundary)")
             train_ds.close_mosaic()
+        # multi-host: each process loads 1/Nth of every global batch; the
+        # global array is assembled in shard_batch (reference DDP equivalent:
+        # DistributedSampler + per-rank batch split, trainer.py:285)
+        n_proc, proc_id = jax.process_count(), jax.process_index()
+        if self.batch_size % n_proc:
+            raise ValueError(f"batch={self.batch_size} must be divisible by process_count={n_proc}")
         loader = DataLoader(
-            train_ds, self.batch_size, shuffle=True, seed=self.args.seed,
+            train_ds, self.batch_size // n_proc, shuffle=True, seed=self.args.seed,
             workers=self.args.workers, drop_last=True,
+            process_index=proc_id, process_count=n_proc,
         )
         nb = len(loader)
         if nb == 0:
@@ -367,19 +387,32 @@ class BaseTrainer:
                 run_callbacks(self.callbacks, "on_train_batch_end", self)
             self.label_loss = {f"train/{n}": v for n, v in zip(names, mloss)}
 
-            # -- validation with EMA weights (reference validator.py:118) --
+            # -- validation with EMA weights (reference validator.py:118);
+            # multi-host: host 0 validates (reference rank-0-only val,
+            # trainer.py:287-297) and the fitness broadcasts so every host
+            # takes the same early-stop decision (reference stop-flag
+            # broadcast, trainer.py:457-460)
             fitness = None
             if self.args.val or epoch == self.epochs - 1:
-                ema_vars = {"params": state["ema"]["params"], "batch_stats": state["ema"]["batch_stats"]}
-                self.metrics = self.validate(ema_vars)
-                fitness = self.metrics.get("fitness", 0.0)
-                if fitness >= self.best_fitness:
-                    self.best_fitness = fitness
-            self._write_csv(epoch, mloss, self.metrics)
-            run_callbacks(self.callbacks, "on_fit_epoch_end", self)
+                if proc_id == 0:
+                    ema_vars = {"params": state["ema"]["params"], "batch_stats": state["ema"]["batch_stats"]}
+                    if n_proc > 1:  # pull fully-replicated globals to local host arrays
+                        ema_vars = jax.tree_util.tree_map(np.asarray, ema_vars)
+                    self.metrics = self.validate(ema_vars)
+                    fitness = self.metrics.get("fitness", 0.0)
+                if n_proc > 1:
+                    from jax.experimental import multihost_utils
 
-            # -- checkpoints --
-            if self.args.save:
+                    fitness = float(multihost_utils.broadcast_one_to_all(
+                        jnp.asarray(fitness if proc_id == 0 else 0.0, jnp.float32)))
+                if fitness is not None and fitness >= self.best_fitness:
+                    self.best_fitness = fitness
+            if proc_id == 0:
+                self._write_csv(epoch, mloss, self.metrics)
+                run_callbacks(self.callbacks, "on_fit_epoch_end", self)
+
+            # -- checkpoints (host 0 only; state is fully replicated) --
+            if self.args.save and proc_id == 0:
                 self._save_ckpt(state, epoch, fitness)
             stop = stopper(epoch, fitness)
             if self.args.time and (time.time() - t_start) / 3600 > self.args.time:
@@ -621,7 +654,8 @@ class GroundingTrainer(WorldTrainer):
         self.img_path = overrides.pop("img_path")
         self.json_file = overrides.pop("json_file")
         self.max_phrases = int(overrides.pop("max_phrases", 8))
-        overrides.setdefault("val", False)  # phrase-grounding mAP protocol N/A
+        # phrase-slot mAP protocol (GroundingValidator) scores every epoch
+        overrides.setdefault("val", True)
         overrides.setdefault("mosaic", 0.0)
         overrides["data"] = {
             "path": str(Path(self.img_path).parent),
@@ -632,20 +666,19 @@ class GroundingTrainer(WorldTrainer):
 
     def build_dataset(self, split: str, augment: bool):
         from spectrogram_yolov11_tpu.data.dataset import GroundingDataset
-        from spectrogram_yolov11_tpu.nn.tasks import WorldModel
 
-        K = self.max_phrases
+        return GroundingDataset(self.img_path, json_file=self.json_file, imgsz=self.imgsz,
+                                nc=self.max_phrases, max_gt=128, embed_phrases=self.max_phrases)
 
-        class _Embedded(GroundingDataset):
-            def get_item(self, i, rng):
-                item = super().get_item(i, rng)
-                texts = item.pop("texts")[:K]
-                texts = texts + [""] * (K - len(texts))
-                item["txt_feats"] = WorldModel.text_embeddings(texts)[0].astype(np.float32)
-                return item
+    def get_validator(self, ema_vars):
+        from spectrogram_yolov11_tpu.engine.validator import GroundingValidator
 
-        return _Embedded(self.img_path, json_file=self.json_file, imgsz=self.imgsz,
-                         nc=K, max_gt=128)
+        return GroundingValidator(
+            self.model, ema_vars, img_path=self.img_path, json_file=self.json_file,
+            max_phrases=self.max_phrases,
+            overrides={"imgsz": self.imgsz, "batch": self.batch_size,
+                       "workers": self.args.workers, "plots": False},
+        )
 
     def forward_train(self, params, batch_stats, batch, ni):
         x = batch["img"].astype(jnp.float32) / 255.0

@@ -42,8 +42,23 @@ def batch_sharded(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Device-put each batch array sharded along axis 0 ('data')."""
+    """Device-put each batch array sharded along axis 0 ('data').
+
+    Multi-host: each process holds only its local slice of the global batch
+    (the DataLoader shards the index space by process); the global array is
+    assembled with make_array_from_process_local_data — the TPU-native
+    equivalent of DistributedSampler + per-rank batches (reference
+    data/build.py:139-158)."""
     sh = batch_sharded(mesh)
+    if jax.process_count() > 1:
+        out = {}
+        for k, v in batch.items():
+            if getattr(v, "ndim", 0) >= 1:
+                gshape = (v.shape[0] * jax.process_count(), *v.shape[1:])
+                out[k] = jax.make_array_from_process_local_data(sh, np.asarray(v), gshape)
+            else:
+                out[k] = v
+        return out
     return {k: jax.device_put(v, sh) if getattr(v, "ndim", 0) >= 1 else v for k, v in batch.items()}
 
 

@@ -367,8 +367,10 @@ class GroundingDataset(YOLODataset):
     as the remaining grounding-train gap).
     """
 
-    def __init__(self, img_path, json_file, imgsz: int = 640, max_gt: int = 128, **kwargs):
+    def __init__(self, img_path, json_file, imgsz: int = 640, max_gt: int = 128,
+                 embed_phrases: int = 0, **kwargs):
         self.json_file = str(json_file)
+        self.embed_phrases = int(embed_phrases)  # >0: attach (K, ct) txt_feats per item
         kwargs.pop("augment", None)
         super().__init__(img_path, imgsz=imgsz, augment=False, max_gt=max_gt,
                          task="detect", **kwargs)
@@ -421,6 +423,13 @@ class GroundingDataset(YOLODataset):
     def get_item(self, i: int, rng) -> Dict[str, np.ndarray]:
         item = super().get_item(i, rng)
         item["texts"] = list(self.texts[i])
+        if self.embed_phrases:  # attach padded (K, ct) txt_feats per sample
+            from spectrogram_yolov11_tpu.nn.tasks import WorldModel
+
+            K = self.embed_phrases
+            texts = item.pop("texts")[:K]
+            texts = texts + [""] * (K - len(texts))
+            item["txt_feats"] = np.asarray(WorldModel.text_embeddings(texts)[0], np.float32)
         return item
 
 

@@ -173,9 +173,17 @@ class Exporter:
         return p
 
     def _export_stablehlo(self, base: Path) -> Path:
-        """AOT-lower the full inference pipeline to StableHLO MLIR text +
-        sidecar .ckpt with the weights. A C++ runtime can compile the MLIR
-        with XLA PjRt and feed the weights (see examples/cpp_inference)."""
+        """AOT-lower the full inference pipeline to StableHLO MLIR text plus
+        TWO sidecars: a .ckpt (this framework's AutoBackend reimport) and a
+        native weights pack (<stem>.weights.bin + <stem>.weights.json
+        manifest) holding the flattened f32/i32 leaves in the exact argument
+        order of the lowered MLIR @main, so a C++ PjRt runtime can compile
+        and feed it with no Python or msgpack (examples/cpp-stablehlo-
+        inference/main.cpp consumes exactly this triple)."""
+        import json
+
+        import numpy as np
+
         fwd = self._forward_fn()
         batch = 1 if self.args.batch in (None, -1, 16) else int(self.args.batch)
         dummy = jnp.zeros((batch, self.imgsz, self.imgsz, 3), jnp.uint8)
@@ -184,6 +192,29 @@ class Exporter:
         p = base.with_suffix(".stablehlo")
         p.write_text(mlir_text)
         self._export_ckpt(base)
+
+        # native weights pack: leaves in jax pytree-flatten order == the
+        # lowered function's leading argument order; the image is the final arg
+        leaves, _ = jax.tree_util.tree_flatten(self.variables)
+        paths = [
+            "/".join(str(getattr(k, "key", k)) for k in kp)
+            for kp, _ in jax.tree_util.tree_flatten_with_path(self.variables)[0]
+        ]
+        manifest, blobs, off = [], [], 0
+        for name, leaf in zip(paths, leaves):
+            a = np.ascontiguousarray(np.asarray(leaf))
+            manifest.append({"name": name, "dtype": a.dtype.name, "shape": list(a.shape),
+                             "offset": off, "nbytes": int(a.nbytes)})
+            blobs.append(a.tobytes())
+            off += a.nbytes
+        base.with_suffix(".weights.bin").write_bytes(b"".join(blobs))
+        base.with_suffix(".weights.json").write_text(json.dumps({
+            "args": manifest,
+            "image_input": {"dtype": "uint8", "shape": [batch, self.imgsz, self.imgsz, 3]},
+            "nms": bool(self.args.nms),
+            "task": self.model.task,
+            "names": {int(k): v for k, v in getattr(self.model, "names", {}).items()},
+        }))
         return p
 
     def _export_saved_model(self, base: Path) -> Path:

@@ -1,0 +1,75 @@
+"""C++ PjRt consumer of the .stablehlo export (round-2 verdict missing #2):
+export the trained spectrogram detector with embedded NMS, run it through
+examples/cpp-stablehlo-inference (XLA PjRt CPU client, no Python), and assert
+the detections match the Python graph (reference equivalent: the native
+inference examples, e.g. YOLOv8-CPP-Inference/inference.cpp:185)."""
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+REPO = Path(__file__).parents[1]
+APP_DIR = REPO / "examples" / "cpp-stablehlo-inference"
+CKPT = REPO / "runs_artifacts" / "spectrogram_yolo11n.ckpt"
+
+
+def _binary() -> Path:
+    b = APP_DIR / "stablehlo_infer"
+    if not b.exists():
+        r = subprocess.run(["bash", str(APP_DIR / "build.sh")], capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    return b
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not CKPT.exists(), reason="trained checkpoint not present")
+def test_cpp_consumer_matches_python(tmp_path):
+    import cv2
+
+    from spectrogram_yolov11_tpu.data.augment import letterbox
+    from spectrogram_yolov11_tpu.engine.checkpoint import load_checkpoint
+    from spectrogram_yolov11_tpu.engine.exporter import Exporter, build_inference_fn
+    from spectrogram_yolov11_tpu.nn.tasks import build_model
+
+    imgsz = 192  # small enough for a quick CPU XLA compile in the C++ app
+    tree, meta = load_checkpoint(CKPT)
+    model = build_model(meta["model_yaml"], nc=meta.get("nc"), verbose=False)
+    variables = tree.get("ema") or tree["variables"]
+    ex = Exporter(model, variables, {"format": "stablehlo", "imgsz": imgsz, "nms": True,
+                                     "conf": 0.25, "batch": 1, "project": str(tmp_path),
+                                     "name": "m", "exist_ok": True})
+    stem = str(ex())[: -len(".stablehlo")]
+    assert Path(stem + ".weights.bin").exists() and Path(stem + ".weights.json").exists()
+
+    val = sorted((REPO / "datasets" / "spectrogram_synth" / "images" / "val").glob("*.jpg"))
+    im = cv2.imread(str(val[0]))
+    lb, _, _ = letterbox(im, (imgsz, imgsz))
+    img_bin = tmp_path / "image.bin"
+    lb[None].astype(np.uint8).tofile(img_bin)
+
+    # Python-side reference through the identical exported graph
+    det_p, nv_p = build_inference_fn(model, nms=True, conf=0.25)(variables, jnp.asarray(lb[None]))
+    det_p, nv_p = np.asarray(det_p), np.asarray(nv_p)
+
+    r = subprocess.run([str(_binary()), stem, str(img_bin), "0.25"],
+                       capture_output=True, text=True, timeout=900, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    det_c = np.fromfile(tmp_path / "out_0.bin", np.float32).reshape(det_p.shape)
+    nv_c = np.fromfile(tmp_path / "out_1.bin", np.int32)
+
+    assert nv_c[0] == nv_p[0] > 0, (nv_c, nv_p)
+    n = int(nv_p[0])
+    np.testing.assert_allclose(det_c[0, :n], det_p[0, :n], atol=1e-4, rtol=1e-4)
+    a, b = det_c[0, :n, :4], det_p[0, :n, :4]
+    x1, y1 = np.maximum(a[:, 0], b[:, 0]), np.maximum(a[:, 1], b[:, 1])
+    x2, y2 = np.minimum(a[:, 2], b[:, 2]), np.minimum(a[:, 3], b[:, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    area = lambda t: (t[:, 2] - t[:, 0]) * (t[:, 3] - t[:, 1])
+    iou = inter / (area(a) + area(b) - inter)
+    assert iou.min() > 0.99, iou
+    assert "det b=0" in r.stdout  # boxes printed like the reference demo apps

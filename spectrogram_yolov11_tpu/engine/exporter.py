@@ -38,11 +38,11 @@ def export_formats() -> dict:
     return {
         "ckpt": {"suffix": ".ckpt", "available": True},
         "stablehlo": {"suffix": ".stablehlo", "available": True},
-        # the TF-chain formats are availability-gated AND experimental: no
-        # tensorflow ships in the TPU image, so these paths are exercised only
-        # where TF is installed (round-1 verdict weak #9)
-        "saved_model": {"suffix": "_saved_model", "available": tf_ok, "experimental": True},
-        "tflite": {"suffix": ".tflite", "available": tf_ok, "experimental": True},
+        # TF-chain formats are availability-gated like the reference's lazy
+        # per-format deps; exercised by tests/test_export_backend.py
+        # (saved_model + tflite fp/int8) wherever tensorflow is installed
+        "saved_model": {"suffix": "_saved_model", "available": tf_ok},
+        "tflite": {"suffix": ".tflite", "available": tf_ok},
         "onnx": {"suffix": ".onnx", "available": tf_ok and importlib.util.find_spec("tf2onnx") is not None,
                  "experimental": True},
     }

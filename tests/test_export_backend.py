@@ -152,3 +152,28 @@ def test_benchmark_catches_broken_export(tmp_path, monkeypatch):
     rows = benchmark(m, data=data, imgsz=64, floor=0.9, verbose=False)
     by_fmt = {r["format"]: r for r in rows}
     assert by_fmt["ckpt"]["status"].startswith("fail"), by_fmt["ckpt"]
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["find_spec"]).find_spec("tensorflow") is None,
+    reason="tensorflow not installed",
+)
+def test_export_tflite_and_int8(tmp_path):
+    """jax2tf -> TFLite conversion (fp and full-int8 with a real calibration
+    dataset) + AutoBackend inference on the artifacts (reference:
+    tests/test_exports.py:55-163 runs every export)."""
+    from spectrogram_yolov11_tpu.nn.autobackend import AutoBackend
+
+    m = YOLO("spectrogram_yolo11.yaml")
+    m._ensure_variables()
+    path = m.export(format="tflite", save_dir=str(tmp_path), imgsz=64)
+    backend = AutoBackend(path)
+    out = np.asarray(backend.forward(np.zeros((1, 64, 64, 3), np.uint8)))
+    assert out.shape[0] == 1 and np.isfinite(out).all()
+
+    p8 = m.export(format="tflite", save_dir=str(tmp_path), imgsz=64, int8=True,
+                  data="spectrogram_synth.yaml", name="int8")
+    b8 = AutoBackend(p8)
+    out8 = np.asarray(b8.forward(np.zeros((1, 64, 64, 3), np.uint8)))
+    assert out8.shape == out.shape and np.isfinite(out8).all()

@@ -227,8 +227,38 @@ class YOLO:
             nc=self.model.nc,
         )
 
-    def info(self):
-        return self.model.info(self.variables)
+    def info(self, imgsz: int = 640, flops: bool = True):
+        self._ensure_variables()
+        return self.model.info(self.variables, imgsz=imgsz, flops=flops)
+
+    def profile(self, imgsz: int = 256, **kwargs):
+        """Per-layer params/FLOPs/ms table (reference predict(profile=True) /
+        BaseModel._profile_one_layer, nn/tasks.py:198)."""
+        self._ensure_variables()
+        return self.model.profile(self.variables, imgsz=imgsz, **kwargs)
+
+    def embed(self, source, embed: Optional[list] = None, imgsz: int = 640, **kwargs) -> List:
+        """Feature embeddings per image (reference engine/model.py:456 embed +
+        tests/test_python.py:566): mean-pooled activations of the requested
+        layer indices (default: the layer feeding the head), L2-ready (B, C).
+        """
+        import cv2
+        import jax.numpy as jnp
+        import numpy as np
+
+        from spectrogram_yolov11_tpu.data.augment import letterbox
+        from spectrogram_yolov11_tpu.data.loaders import load_inference_source
+
+        self._ensure_variables()
+        idxs = tuple(embed) if embed else (len(self.model.specs) - 2,)
+        imgsz = int(imgsz)
+        fn = jax.jit(lambda v, x: self.model.graph.apply(v, x, train=False, embed=idxs))
+        out = []
+        for _path, img, _ in load_inference_source(source):
+            lb, _, _ = letterbox(img, (imgsz, imgsz))
+            x = jnp.asarray(lb[None, ..., ::-1].astype(np.float32) / 255.0)
+            out.append(np.asarray(fn(self.variables, x))[0])
+        return out
 
     def fuse(self):
         LOGGER.info("fuse(): conv+BN folding is applied at export; XLA fuses the affine at jit time.")

@@ -19,6 +19,7 @@ from __future__ import annotations
 import ast
 import contextlib
 import re
+import time
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple, Union
 
@@ -525,14 +526,100 @@ class BaseModel:
             return out, mut["batch_stats"]
         return self.graph.apply(variables, x, train=False)
 
-    def info(self, variables: Optional[dict] = None) -> str:
+    def info(self, variables: Optional[dict] = None, imgsz: int = 640, flops: bool = True) -> str:
+        """Model summary incl. GFLOPs (reference: torch_utils.py:299 model_info
+        + get_flops:364 — thop there, XLA's own cost analysis here)."""
         n_layers = len(self.specs)
         n_params = (
             sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"])) if variables else 0
         )
+        gflops = self.get_flops(variables, imgsz) if (flops and variables is not None) else None
         msg = f"{self.yaml.get('yaml_name', 'model')} summary: {n_layers} layers, {n_params:,} parameters"
+        if gflops is not None:
+            msg += f", {gflops:.1f} GFLOPs @ {imgsz}px"
         LOGGER.info(msg)
         return msg
+
+    def get_flops(self, variables: dict, imgsz: int = 640) -> Optional[float]:
+        """Forward GFLOPs per image from XLA's compiled cost analysis
+        (reference get_flops uses thop; XLA's number is the true lowered op
+        count for this backend)."""
+        try:
+            dummy = jax.ShapeDtypeStruct((1, int(imgsz), int(imgsz), self.ch), jnp.float32)
+            compiled = jax.jit(lambda v, x: self.apply(v, x, train=False)).lower(variables, dummy).compile()
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            return float(ca["flops"]) / 1e9
+        except Exception as e:  # backend without cost analysis
+            LOGGER.warning(f"get_flops unavailable: {e}")
+            return None
+
+    def profile(self, variables: dict, imgsz: int = 256, batch: int = 1, timed: bool = True) -> List[dict]:
+        """Per-layer profile (reference BaseModel._profile_one_layer,
+        nn/tasks.py:198): replays the graph layer by layer, reporting params,
+        FLOPs (XLA cost analysis of each layer compiled standalone) and — when
+        `timed` — measured ms per layer on the current backend.
+
+        Returns a list of rows; also logs a table."""
+        params_tree = variables["params"]
+        stats_tree = variables.get("batch_stats", {})
+        x = jnp.zeros((batch, int(imgsz), int(imgsz), self.ch), jnp.float32)
+        y: List[Any] = []
+        rows: List[dict] = []
+        txt = jnp.zeros((batch, self.nc, 512), jnp.float32) if self.task == "world" else None
+        for spec in self.specs:
+            f = spec.f
+            xin = x if f == -1 else (y[f] if isinstance(f, int) else [x if j == -1 else y[j] for j in f])
+            names = [f"model_{spec.i}_{j}" for j in range(spec.n)] if spec.n > 1 else [f"model_{spec.i}"]
+            t_ms = flops = 0.0
+            n_par = 0
+            out = xin
+            for name in names:
+                if spec.cls is None:
+                    continue
+                mod = spec.build(name, self.dtype)
+                sub = {"params": {name: params_tree.get(name, {})}}
+                if name in (stats_tree or {}):
+                    sub["batch_stats"] = {name: stats_tree[name]}
+
+                def run(v, xi, mod=mod, name=name):
+                    m = mod.clone(parent=None, name=None)
+                    args = (xi, txt) if spec.type in {"C2fAttn", "ImagePoolingAttn", "WorldDetect"} else (xi,)
+                    return m.apply({k: t[name] for k, t in v.items()}, *args, train=False)
+
+                try:
+                    lowered = jax.jit(run).lower(sub, jax.tree_util.tree_map(
+                        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), out))
+                    compiled = lowered.compile()
+                    ca = compiled.cost_analysis()
+                    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                    flops += float(ca.get("flops", 0.0))
+                    if timed:
+                        o = compiled(sub, out)
+                        jax.block_until_ready(o)
+                        t0 = time.perf_counter()
+                        for _ in range(3):
+                            o = compiled(sub, out)
+                        jax.block_until_ready(o)
+                        t_ms += (time.perf_counter() - t0) / 3 * 1e3
+                    out = run(sub, out)
+                except Exception as e:
+                    LOGGER.warning(f"profile: layer {spec.i} ({spec.type}) skipped: {e}")
+                    out = run(sub, out)
+                n_par += sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params_tree.get(name, {})))
+            if spec.type == "ImagePoolingAttn":
+                txt, out = out, xin  # refines text; x passes through
+            x = out
+            y.append(x if spec.i in self.save else None)
+            rows.append({"i": spec.i, "type": spec.type, "params": n_par,
+                         "gflops": flops / 1e9, "ms": t_ms})
+        LOGGER.info(f"{'idx':>4} {'module':<28}{'params':>10} {'GFLOPs':>9} {'ms':>8}")
+        for r in rows:
+            LOGGER.info(f"{r['i']:>4} {r['type']:<28}{r['params']:>10,} {r['gflops']:>9.3f} {r['ms']:>8.3f}")
+        total = sum(r["gflops"] for r in rows)
+        LOGGER.info(f"{'':>4} {'TOTAL':<28}{sum(r['params'] for r in rows):>10,} {total:>9.3f} "
+                    f"{sum(r['ms'] for r in rows):>8.3f}")
+        return rows
 
 
 def _to_mutable(tree):

@@ -116,3 +116,49 @@ def test_copy_paste_augmentation():
     np.testing.assert_allclose(out["bboxes"][1], [140, 50, 180, 110])
     # pasted pixels come from the mirrored image
     assert not np.array_equal(out["img"], img)
+
+
+def test_info_reports_gflops():
+    """model.info includes XLA-measured GFLOPs (reference get_flops,
+    torch_utils.py:364)."""
+    from spectrogram_yolov11_tpu.nn.tasks import build_model
+
+    m = build_model("yolo11n.yaml", verbose=False)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    msg = m.info(v, imgsz=128)
+    assert "GFLOPs" in msg
+    g = m.get_flops(v, imgsz=128)
+    # yolo11n is ~6.5 GFLOPs @640 -> ~0.26 @128 (quadratic in imgsz)
+    assert g is not None and 0.15 < g < 0.45, g
+
+
+def test_per_layer_profile():
+    """Per-layer params/FLOPs/ms replay (reference _profile_one_layer,
+    nn/tasks.py:198)."""
+    from spectrogram_yolov11_tpu.nn.tasks import build_model
+
+    m = build_model("yolo11n.yaml", verbose=False)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    rows = m.profile(v, imgsz=96, timed=False)
+    assert len(rows) == len(m.specs)
+    total_params = sum(r["params"] for r in rows)
+    import numpy as np
+
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v["params"]))
+    assert total_params == n_params
+    assert sum(r["gflops"] for r in rows) > 0.05
+
+
+def test_embed_facade():
+    """model.embed returns per-image pooled embeddings (reference
+    engine/model.py:456, tests/test_python.py:566)."""
+    import numpy as np
+
+    from spectrogram_yolov11_tpu.engine.model import YOLO
+
+    y = YOLO("yolo11n.yaml")
+    img = np.random.randint(0, 255, (96, 128, 3), np.uint8)
+    e = y.embed([img, img], imgsz=64)
+    assert len(e) == 2 and e[0].ndim == 1 and np.isfinite(e[0]).all()
+    e2 = y.embed([img], embed=[4, 6], imgsz=64)
+    assert e2[0].shape[0] == 64 + 192  # concat of pooled P3/P4-ish channels

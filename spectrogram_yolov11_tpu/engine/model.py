@@ -204,7 +204,12 @@ class YOLO:
 
         return benchmark(model=self, **kwargs)
 
-    def tune(self, iterations: int = 10, **kwargs):
+    def tune(self, iterations: int = 10, use_ray: bool = False, **kwargs):
+        if use_ray:  # reference engine/model.py:817 tune(use_ray=True)
+            from spectrogram_yolov11_tpu.engine.tuner import run_ray_tune
+
+            self._ensure_variables()
+            return run_ray_tune(self, max_samples=iterations, **kwargs)
         from spectrogram_yolov11_tpu.engine.tuner import Tuner
 
         overrides = {**self.overrides, **kwargs}

@@ -106,3 +106,62 @@ class Tuner:
             yaml_save(self.tune_dir / "best_hyperparameters.yaml", {k: float(best[k]) for k in self.space})
             LOGGER.info(f"Tuner: best fitness {best['fitness']} -> {self.tune_dir / 'best_hyperparameters.yaml'}")
         return best
+
+
+def run_ray_tune(model, space: dict | None = None, grace_period: int = 10,
+                 max_samples: int = 10, **train_args):
+    """Hyperparameter search via Ray Tune with an ASHA scheduler (reference:
+    utils/tuner.py run_ray_tune). Availability-gated: raises a clear error
+    when ray[tune] is not installed (this image ships without it)."""
+    try:
+        import ray
+        from ray import tune
+        from ray.air import RunConfig
+        from ray.tune.schedulers import ASHAScheduler
+    except ImportError as e:
+        raise ModuleNotFoundError(
+            'Ray Tune required: pip install "ray[tune]" (reference utils/tuner.py:30)'
+        ) from e
+
+    space = space or {
+        "lr0": tune.uniform(1e-5, 1e-1),
+        "lrf": tune.uniform(0.01, 1.0),
+        "momentum": tune.uniform(0.6, 0.98),
+        "weight_decay": tune.uniform(0.0, 0.001),
+        "warmup_epochs": tune.uniform(0.0, 5.0),
+        "box": tune.uniform(0.02, 0.2),
+        "cls": tune.uniform(0.2, 4.0),
+        "hsv_h": tune.uniform(0.0, 0.1),
+        "hsv_s": tune.uniform(0.0, 0.9),
+        "hsv_v": tune.uniform(0.0, 0.9),
+        "degrees": tune.uniform(0.0, 45.0),
+        "translate": tune.uniform(0.0, 0.9),
+        "scale": tune.uniform(0.0, 0.9),
+        "fliplr": tune.uniform(0.0, 1.0),
+        "mosaic": tune.uniform(0.0, 1.0),
+    }
+    model_yaml = {k: v for k, v in model.model.yaml.items() if k != "yaml_file"}
+
+    def _trainable(config):
+        from spectrogram_yolov11_tpu.engine.model import YOLO
+
+        m = YOLO(model_yaml)
+        res = m.train(**{**train_args, **config})
+        from ray import train as ray_train
+
+        ray_train.report({**res, "epoch": int(train_args.get("epochs", 10))})
+
+    tuner = tune.Tuner(
+        _trainable,
+        param_space=space,
+        tune_config=tune.TuneConfig(
+            scheduler=ASHAScheduler(time_attr="epoch", metric="fitness", mode="max",
+                                    max_t=int(train_args.get("epochs", 10)),
+                                    grace_period=grace_period, reduction_factor=3),
+            num_samples=max_samples,
+        ),
+        run_config=RunConfig(name="tune"),
+    )
+    results = tuner.fit()
+    ray.shutdown()
+    return results

@@ -42,7 +42,7 @@ def add_integration_callbacks(callbacks: Dict[str, List[Callable]]) -> None:
 
 # integration modules, each exporting a `callbacks` event->fn dict; import
 # failure = integration unavailable, silently skipped (reference base.py:187)
-_INTEGRATIONS = (".jsonl", ".tb", ".wb", ".mlflow", ".hub")
+_INTEGRATIONS = (".jsonl", ".tb", ".wb", ".mlflow", ".hub", ".comet", ".clearml", ".dvc", ".neptune", ".raytune")
 
 
 def _attach_integrations(cbs: Dict[str, List[Callable]]) -> None:

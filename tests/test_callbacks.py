@@ -41,3 +41,54 @@ def test_jsonl_logger_roundtrip(tmp_path):
     assert rows[1]["train/box_loss"] == 1.2 and rows[0]["fitness"] == 0.31
     args = json.loads((tmp_path / "args.json").read_text())
     assert args["model"] == "yolo11n.yaml"
+
+
+def test_new_logger_integrations_attach_with_fake_sdks(monkeypatch):
+    """comet/clearml/dvc/neptune integrations attach when their SDK imports
+    (faked here; none ship in this image) and fire on the trainer events
+    (reference utils/callbacks/{comet,clearml,dvc,neptune}.py)."""
+    import importlib
+    import sys
+    import types
+
+    calls = []
+
+    class _Rec:
+        def __init__(self, name):
+            self.name = name
+
+        def __call__(self, *a, **k):
+            calls.append(self.name)
+            return self
+
+        def __getattr__(self, item):
+            return _Rec(f"{self.name}.{item}")
+
+        def __setitem__(self, k, v):
+            calls.append(f"{self.name}[{k}]=")
+
+    fake_comet = types.ModuleType("comet_ml")
+    fake_comet.__version__ = "3.0"
+    fake_comet.Experiment = _Rec("comet.Experiment")
+    monkeypatch.setitem(sys.modules, "comet_ml", fake_comet)
+
+    import spectrogram_yolov11_tpu.utils.comet as comet_cb
+
+    importlib.reload(comet_cb)
+    t = types.SimpleNamespace(args=types.SimpleNamespace(project="p", name="n"),
+                              epoch=0, label_loss={"train/box_loss": 1.0}, metrics={"fitness": 0.5},
+                              best=None, save_dir=".")
+    comet_cb.on_pretrain_routine_start(t)
+    comet_cb.on_fit_epoch_end(t)
+    assert any("Experiment" in c for c in calls)
+    assert any("log_metrics" in c for c in calls)
+
+
+def test_ray_tune_gated():
+    import pytest as _pytest
+
+    from spectrogram_yolov11_tpu.engine.model import YOLO
+
+    y = YOLO("yolo11n.yaml")
+    with _pytest.raises(ModuleNotFoundError, match="ray"):
+        y.tune(use_ray=True, data="spectrogram_synth.yaml", epochs=1)

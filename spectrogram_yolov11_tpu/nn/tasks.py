@@ -100,6 +100,7 @@ MODULE_REGISTRY: Dict[str, Any] = {
     "AIFI": M.AIFI,
     "TransformerEncoderLayer": M.TransformerEncoderLayer,
     "TransformerBlock": M.TransformerBlock,
+    "DyHeadBlock": M.DyHeadBlock,
     # heads
     "Detect": M.Detect,
     "Segment": M.Segment,
@@ -298,9 +299,13 @@ def parse_model(d: dict, ch: int, verbose: bool = True) -> Tuple[List[LayerSpec]
             c2 = ch_list[f[-1]]
             args = [_listify(args[0])] if args else [()]
         elif cls is M.Index or cls is M.TorchVision:
-            # reference nn/tasks.py:1150 — args[0] declares output channels
-            c2 = args[0]
-            args = args[1:]
+            # reference nn/tasks.py:1150 — args[0] declares output channels;
+            # single-arg Index inherits width from its (list-valued) producer
+            if cls is M.Index and len(args) == 1:
+                c2 = ch_list[f]
+            else:
+                c2 = args[0]
+                args = args[1:]
         elif cls in {M.HGStem, M.HGBlock}:
             # reference: args = [c1, cm, c2, ...], HGBlock repeats at idx 4 (nn/tasks.py:1116)
             c1, cm, c2 = ch_list[f], args[0], args[1]
@@ -308,6 +313,10 @@ def parse_model(d: dict, ch: int, verbose: bool = True) -> Tuple[List[LayerSpec]
             if cls is M.HGBlock:
                 args.insert(4, n)
                 n = 1
+        elif cls is M.DyHeadBlock:
+            # operates on (and returns) the [P3,P4,P5] list; channels preserved
+            c2 = ch_list[f if isinstance(f, int) else f[0]]
+            args = [c2]
         elif cls is M.ResNetLayer:
             # reference nn/tasks.py:1122 — YAML carries full (c1, c2, s, is_first, n);
             # output width is c2 for the stem layer, e*c2 (e=4) for block stacks

@@ -137,3 +137,51 @@ def test_resnet_yaml_parses():
     vs = jax.eval_shape(lambda: m.graph.init(jax.random.PRNGKey(0), x, train=False))
     out = jax.eval_shape(lambda v: m.graph.apply(v, x, train=False), vs)
     assert out is not None
+
+
+def test_dyhead_block_and_config():
+    """DyHeadBlock (TPU-native DCNv2-gather + DyReLU; reference ships it
+    commented out at head.py:880-991) refines a 3-level pyramid, preserves
+    shapes, is finite, and differentiates; zero-offset init means the DCN
+    starts as a plain (masked) 3x3 conv."""
+    import jax.numpy as jnp
+
+    from spectrogram_yolov11_tpu.nn import modules as M
+
+    rng = np.random.default_rng(0)
+    xs = [jnp.asarray(rng.normal(0, 1, (2, s, s, 32)).astype(np.float32)) for s in (16, 8, 4)]
+    blk = M.DyHeadBlock(32)
+    v = blk.init(jax.random.PRNGKey(0), xs)
+    outs = blk.apply(v, xs)
+    assert [o.shape for o in outs] == [x.shape for x in xs]
+    assert all(bool(jnp.all(jnp.isfinite(o))) for o in outs)
+
+    def loss(params):
+        outs = blk.apply(params, xs)
+        return sum(jnp.sum(o ** 2) for o in outs)
+
+    g = jax.grad(lambda p: loss(p))(v)
+    gnorm = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_dydcnv2_zero_offset_matches_masked_conv():
+    """With zero offsets the deformable gather must equal a plain 3x3 conv
+    (same taps) modulated by the sigmoid mask."""
+    import jax.numpy as jnp
+
+    from spectrogram_yolov11_tpu.nn.modules.dyhead import DyDCNv2
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 4)).astype(np.float32))
+    offset = jnp.zeros((1, 8, 8, 18))
+    mask = jnp.full((1, 8, 8, 9), 80.0)  # sigmoid -> 1
+    m = DyDCNv2(4, 6, norm=False)
+    v = m.init(jax.random.PRNGKey(0), x, offset, mask)
+    y = m.apply(v, x, offset, mask)
+
+    w = np.asarray(v["params"]["weight"])  # (9, cin, cout)
+    k = jnp.asarray(w.reshape(3, 3, 4, 6))
+    ref = jax.lax.conv_general_dilated(x, k, (1, 1), [(1, 1), (1, 1)],
+                                       dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4, rtol=1e-4)

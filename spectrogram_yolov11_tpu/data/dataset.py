@@ -122,13 +122,22 @@ class YOLODataset:
         self.img_path = Path(img_path)
         self.imgsz = imgsz
         self.nc = nc
-        self.max_gt = max_gt
         self.single_cls = single_cls
         self.task = task
         self.kpt_shape = tuple(kpt_shape or (17, 3))
         self.im_files = self._find_images(fraction)
         self.label_files = [img2label_path(f) for f in self.im_files]
         self.labels = self._load_labels()
+        if not max_gt:  # auto: size the static GT pad to THIS dataset
+            # TAL builds (B, max_gt, A) tensors, so an oversized pad is pure
+            # HBM traffic (round-3 train profile: the assigner cost 7x the
+            # forward at max_gt=128 on ~8-GT spectrogram scenes). Mosaic can
+            # merge up to 4 images' labels; cap at the reference-equivalent
+            # 128 and keep a floor of 32.
+            ml = max((len(l.get("cls", ())) for l in self.labels), default=0)
+            per_img = ml * (4 if augment else 1)
+            max_gt = int(min(128, max(32, -(-int(per_img * 1.1) // 8) * 8)))
+        self.max_gt = max_gt
         self.cache_ram = cache in (True, "ram")
         self._im_cache: Dict[int, np.ndarray] = {}
         from .augment import TrainTransform, ValTransform

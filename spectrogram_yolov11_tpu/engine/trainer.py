@@ -185,7 +185,7 @@ class BaseTrainer:
             augment=augment,
             hyp=self.args,
             nc=self.data["nc"],
-            max_gt=128,
+            max_gt=0,  # auto-sized from the dataset's labels (dataset.py)
             single_cls=self.args.single_cls,
             fraction=self.args.fraction if split == "train" else 1.0,
             cache=self.args.cache,

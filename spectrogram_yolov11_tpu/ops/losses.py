@@ -74,8 +74,13 @@ def df_loss(pred_dist_logits: jnp.ndarray, target: jnp.ndarray, reg_max: int = 1
     wl = tr.astype(target.dtype) - target
     wr = 1.0 - wl
     logp = jax.nn.log_softmax(pred_dist_logits, axis=-1)
-    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1)[..., 0]
-    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None], axis=-1)[..., 0]
+    # one-hot contraction instead of take_along_axis: a dynamic gather on the
+    # minor (lane) axis lowers catastrophically on TPU — XLA charged ~280 GB
+    # per gather here at bs64 (round-3 loss profile); the masked reduction is
+    # three streaming passes over the same tensor.
+    bins = jnp.arange(reg_max, dtype=jnp.int32)
+    ce_l = -jnp.sum(logp * (bins == tl[..., None]), axis=-1)
+    ce_r = -jnp.sum(logp * (bins == jnp.clip(tr, 0, reg_max - 1)[..., None]), axis=-1)
     return (ce_l * wl + ce_r * wr).mean(-1, keepdims=True)
 
 

@@ -51,11 +51,14 @@ def select_topk_candidates(metrics: jnp.ndarray, topk: int, topk_mask: jnp.ndarr
     become fg with ~zero target score). Matching that exactly matters: it
     roughly triples the fg count early in training.
     """
-    a = metrics.shape[-1]
+    b, g, a = metrics.shape
     _, topk_idxs = jax.lax.top_k(metrics, topk)  # (b, max_gt, topk)
-    onehot = jax.nn.one_hot(topk_idxs, a, dtype=metrics.dtype)  # (b, g, topk, A)
-    count = (onehot * topk_mask[..., None, None].astype(metrics.dtype)).sum(axis=-2)
-    return count > 0
+    # membership scatter: b*g*topk writes instead of the (b, g, topk, A)
+    # one-hot (which was 10x the assigner's HBM traffic; round-3 profile)
+    hits = jnp.zeros((b, g, a), bool).at[
+        jnp.arange(b)[:, None, None], jnp.arange(g)[None, :, None], topk_idxs
+    ].set(True, mode="drop")
+    return hits & topk_mask[..., None].astype(bool)
 
 
 def select_highest_overlaps(mask_pos: jnp.ndarray, overlaps: jnp.ndarray, n_max_boxes: int):
@@ -102,11 +105,12 @@ def task_aligned_assign(
         in_gts = select_candidates_in_gts(anc_points, gt_bboxes, eps)
         overlaps_fn = lambda g, p: jnp.clip(bbox_iou(g, p, xywh=False, CIoU=True), 0, None)
 
-    # scores gathered at each GT's class: (b, max_gt, A)
+    # scores gathered at each GT's class: (b, max_gt, A). One-hot einsum
+    # (an MXU matmul) instead of a broadcast gather — element gathers with
+    # (b, max_gt, A) index fan-out lower poorly on TPU (round-3 loss profile).
     gt_cls = jnp.clip(gt_labels[..., 0].astype(jnp.int32), 0, nc - 1)
-    scores_at_gt = jnp.take_along_axis(
-        pd_scores.transpose(0, 2, 1), gt_cls[:, :, None], axis=1
-    )  # (b, max_gt, A)
+    cls_onehot = jax.nn.one_hot(gt_cls, nc, dtype=pd_scores.dtype)  # (b, max_gt, nc)
+    scores_at_gt = jnp.einsum("ban,bgn->bga", pd_scores, cls_onehot)
 
     mask_valid = in_gts & mask_gt_b[..., None]
     overlaps = jnp.where(

@@ -52,6 +52,7 @@ win).
 from __future__ import annotations
 
 import json
+import sys
 import time
 from pathlib import Path
 
@@ -80,6 +81,80 @@ def _load_frames(n: int) -> list:
             g = rng.integers(0, 255, (SRC_H, SRC_W, 1), dtype=np.uint8)
             frames.append(np.repeat(g, 3, axis=2))
     return frames
+
+
+def bench_train() -> None:
+    """`python bench.py --train`: scan-fenced full-train-step throughput
+    (fwd+TAL+loss+bwd+opt+EMA on real spectrogram_synth batches). Not part
+    of the headline JSON; numbers recorded in ROUND3_NOTES.md §2."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from spectrogram_yolov11_tpu.data.build import DataLoader
+    from spectrogram_yolov11_tpu.engine.optim import (
+        apply_updates, choose_optimizer, ema_decay, ema_update, init_opt_state, param_groups)
+    from spectrogram_yolov11_tpu.engine.trainer import DetectionTrainer
+
+    out = {}
+    for batch_size in (64, 128):
+        t = DetectionTrainer(overrides=dict(
+            model="spectrogram_yolo11.yaml", data="spectrogram_synth.yaml",
+            epochs=1, batch=batch_size, imgsz=640, amp=True, val=False, save=False,
+            plots=False, workers=2, seed=0, name=f"benchtrain_bs{batch_size}", exist_ok=True,
+        ))
+        t.setup_model()
+        ds = t.build_dataset("train", augment=True)
+        batch = next(iter(DataLoader(ds, batch_size, shuffle=True, seed=0, workers=2, drop_last=False)))
+        batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()
+                 if k in {"img", "cls", "bboxes", "mask_gt"}}
+        opt_cfg = choose_optimizer(t.args, t.data["nc"], 100)
+        groups = param_groups(t.variables["params"])
+        wd = float(t.args.weight_decay)
+        state = {
+            "params": t.variables["params"],
+            "batch_stats": t.variables["batch_stats"],
+            "opt": init_opt_state(t.variables["params"]),
+            "ema": jax.tree_util.tree_map(lambda x: jnp.array(x, jnp.float32, copy=True), t.variables),
+            "upd": jnp.asarray(0, jnp.int32),
+        }
+        def loss_fn(p, bs, b, ni):
+            fe, new_bs = t.forward_train(p, bs, b, ni)
+            total, _ = t.compute_loss(fe, b)
+            return total, new_bs
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def train_step(st, b, ni):
+            (loss, new_bs), grads = grad_fn(st["params"], st["batch_stats"], b, ni)
+            new_p, new_opt = apply_updates(st["params"], grads, st["opt"], opt_cfg, groups, wd, lr_step=ni)
+            d = ema_decay(st["upd"] + 1)
+            new_ema = ema_update(st["ema"], {"params": new_p, "batch_stats": new_bs}, d)
+            return {"params": new_p, "batch_stats": new_bs, "opt": new_opt,
+                    "ema": new_ema, "upd": st["upd"] + 1}, loss
+
+        reps = 8
+
+        @jax.jit
+        def scan_steps(st, b):
+            def body(carry, ni):
+                st, acc = carry
+                st, loss = train_step(st, b, ni)
+                return (st, acc + loss), None
+            (st, acc), _ = jax.lax.scan(body, (st, jnp.float32(0.0)), jnp.arange(reps))
+            return acc
+
+        assert np.isfinite(float(scan_steps(state, batch)))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(scan_steps(state, batch))
+            best = min(best, (time.perf_counter() - t0) / (reps * batch_size))
+        out[batch_size] = round(1.0 / best)
+        print(f"bs{batch_size}: {best*1e3:.3f} ms/img -> {out[batch_size]} img/s", flush=True)
+    print(json.dumps({"metric": "train img/s/chip (full step, scan-fenced)", "sweep": out}))
 
 
 def main() -> None:
@@ -258,4 +333,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        bench_train()
+    else:
+        main()

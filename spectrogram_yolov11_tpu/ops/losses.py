@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..nn.modules.block import dfl_decode
 from .decode import bbox2dist, dist2bbox, dist2rbox, flatten_feats, make_anchors
 from .iou import bbox_iou, probiou
 from .metrics import OKS_SIGMA
@@ -199,7 +200,10 @@ def _assign_for_feats(feats, cls, bboxes, mask_gt, nc, reg_max, imgsz, strides, 
     x = flatten_feats(feats).astype(jnp.float32)
     pred_dist_logits = x[..., : 4 * reg_max].reshape(b, -1, 4, reg_max)
     pred_scores = x[..., 4 * reg_max :]
-    pd = jax.nn.softmax(pred_dist_logits, axis=-1) @ jnp.arange(reg_max, dtype=jnp.float32)
+    # lane-friendly matmul decode (see dfl_decode) instead of softmax on the
+    # minor-16 view; pred_dist_logits keeps the (b, A, 4, reg_max) view for
+    # df_loss's per-bin cross-entropy.
+    pd = dfl_decode(x[..., : 4 * reg_max], reg_max)
     pred_bboxes = dist2bbox(pd, anchor_points[None], xywh=False)
     gt_labels, gt_xyxy_px, mask_gt3 = preprocess_targets(cls, bboxes, mask_gt, float(imgsz))
     assign = task_aligned_assign(

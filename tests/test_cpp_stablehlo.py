@@ -46,7 +46,10 @@ def test_cpp_consumer_matches_python(tmp_path):
     stem = str(ex())[: -len(".stablehlo")]
     assert Path(stem + ".weights.bin").exists() and Path(stem + ".weights.json").exists()
 
-    val = sorted((REPO / "datasets" / "spectrogram_synth" / "images" / "val").glob("*.jpg"))
+    from spectrogram_yolov11_tpu.data.dataset import check_det_dataset
+
+    data = check_det_dataset("spectrogram_synth.yaml")  # materializes the synth set on first use
+    val = sorted(Path(data["val"]).glob("*.jpg"))
     im = cv2.imread(str(val[0]))
     lb, _, _ = letterbox(im, (imgsz, imgsz))
     img_bin = tmp_path / "image.bin"

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from spectrogram_yolov11_tpu.cfg import get_cfg, get_save_dir
-from spectrogram_yolov11_tpu.ops.decode import decode_detections
+from spectrogram_yolov11_tpu.ops.decode import decode_detections, feat_shapes
 from spectrogram_yolov11_tpu.ops.nms import non_max_suppression
 from spectrogram_yolov11_tpu.utils import DEFAULT_CFG, LOGGER
 
@@ -101,7 +101,7 @@ def build_inference_fn(model, *, nms: bool = False, conf: float = 0.25, iou: flo
 
             feats, kpt_raw = out
             nk, nd = getattr(model, "kpt_shape", (17, 3))
-            shapes = [(f.shape[1], f.shape[2]) for f in feats]
+            shapes = feat_shapes(feats)
             kpts = decode_kpts(kpt_raw, (nk, nd), shapes, strides)
             preds = decode_detections(feats, nc=nc, strides=strides)
             preds = jnp.concatenate([preds, kpts.reshape(kpts.shape[0], kpts.shape[1], -1)], axis=-1)

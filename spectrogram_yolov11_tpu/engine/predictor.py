@@ -26,7 +26,7 @@ from spectrogram_yolov11_tpu.cfg import get_cfg, get_save_dir
 from spectrogram_yolov11_tpu.data.loaders import load_inference_source
 from spectrogram_yolov11_tpu.engine.results import Results
 from spectrogram_yolov11_tpu.ops.boxes import scale_boxes
-from spectrogram_yolov11_tpu.ops.decode import decode_detections, decode_kpts, decode_obb
+from spectrogram_yolov11_tpu.ops.decode import decode_detections, decode_kpts, decode_obb, feat_shapes
 from spectrogram_yolov11_tpu.ops.nms import non_max_suppression, non_max_suppression_extras, nms_rotated
 from spectrogram_yolov11_tpu.utils import LOGGER, DEFAULT_CFG
 
@@ -142,7 +142,7 @@ class BasePredictor:
                     if flip:
                         p = p.at[..., 0].set(S - p[..., 0])
                     # per-level anchor counts for tail clipping
-                    counts = [f.shape[1] * f.shape[2] for f in feats]
+                    counts = [h * w for (h, w) in feat_shapes(feats)]
                     if si == 1.0:
                         p = p[:, : counts[0] + counts[1]]  # drop P5 tail
                     elif si == 0.67:
@@ -452,7 +452,7 @@ class PosePredictor(BasePredictor):
         def run(variables, imgs_u8):
             x = _norm_on_device(imgs_u8)
             feats, kpt_raw = model.apply(variables, x, train=False)
-            shapes = [(f.shape[1], f.shape[2]) for f in feats]
+            shapes = feat_shapes(feats)
             kpts = decode_kpts(kpt_raw, (nk, nd), shapes, strides)
             preds = decode_detections(feats, nc=nc, strides=strides)
             preds = jnp.concatenate([preds, kpts.reshape(kpts.shape[0], kpts.shape[1], -1)], axis=-1)

@@ -23,7 +23,7 @@ import numpy as np
 
 from spectrogram_yolov11_tpu.cfg import get_cfg
 from spectrogram_yolov11_tpu.data import DataLoader, YOLODataset, check_det_dataset
-from spectrogram_yolov11_tpu.ops.decode import decode_detections, decode_kpts, decode_obb
+from spectrogram_yolov11_tpu.ops.decode import decode_detections, decode_kpts, decode_obb, feat_shapes
 from spectrogram_yolov11_tpu.ops.iou import batch_probiou, kpt_iou, mask_iou
 from spectrogram_yolov11_tpu.ops.metrics import (
     ClassifyMetrics,
@@ -441,7 +441,7 @@ class PoseValidator(DetectionValidator):
         def run(variables, imgs_u8):
             x = imgs_u8.astype(jnp.float32) / 255.0
             feats, kpt_raw = model.apply(variables, x, train=False)
-            shapes = [(f.shape[1], f.shape[2]) for f in feats]
+            shapes = feat_shapes(feats)
             kpts = decode_kpts(kpt_raw, (nk, nd), shapes, strides)  # (b, A, nk, <=3) letterbox px
             preds = decode_detections(feats, nc=nc, strides=strides)
             preds = jnp.concatenate([preds, kpts.reshape(kpts.shape[0], kpts.shape[1], -1)], axis=-1)

@@ -47,14 +47,22 @@ def dfl_decode(box_logits: jax.Array, reg_max: int = 16) -> jax.Array:
     magnitude (exp(80) and 16*15*exp(80) both stay inside f32 range) and
     only distorting |logits| > 80, which no trained or randomly initialized
     head produces. Gradients flow identically (exp/matmul/divide).
+
+    exp runs in the input dtype (f32 callers — the losses, f32 validators —
+    keep bit-identical numerics; bf16 inference avoids materializing an f32
+    (B, A, 4*reg_max) tensor, ~2 MB/img of HBM writes at 640px) and the
+    matmul always accumulates f32 on the MXU, so the returned distances are
+    f32 either way.
     """
-    x = jnp.clip(box_logits.astype(jnp.float32), -80.0, 80.0)
+    x = jnp.clip(box_logits, -80.0, 80.0)
     z = jnp.exp(x)
     proj = np.zeros((4 * reg_max, 8), np.float32)
     for g in range(4):
         proj[g * reg_max : (g + 1) * reg_max, g] = np.arange(reg_max)
         proj[g * reg_max : (g + 1) * reg_max, 4 + g] = 1.0
-    s = jnp.matmul(z, jnp.asarray(proj), precision=jax.lax.Precision.HIGHEST)
+    prec = jax.lax.Precision.HIGHEST if z.dtype == jnp.float32 else None
+    s = jnp.matmul(z, jnp.asarray(proj, z.dtype), precision=prec,
+                   preferred_element_type=jnp.float32)
     return s[..., :4] / s[..., 4:]
 
 

@@ -29,8 +29,10 @@ Dtype = Any
 class Detect(nn.Module):
     """Decoupled anchor-free detect head over P3/P4/P5 (reference: head.py:21).
 
-    Output per level i: (B, Hi, Wi, 4*reg_max + nc) raw logits; the first
-    4*reg_max channels are DFL bin logits, the rest class logits.
+    Output per level i: a pair (box (B, Hi, Wi, 4*reg_max), cls (B, Hi, Wi, nc))
+    of raw logits. The reference packs both into one 4*reg_max+nc channel map
+    (head.py:93); keeping them separate avoids a lane-padded concat that
+    downstream decode/loss would immediately re-split (ops.decode.split_feats).
     """
 
     nc: int = 80
@@ -66,7 +68,9 @@ class Detect(nn.Module):
                 c = DWConv(c3, c3, 3, dtype=self.dtype, name=f"{cls_prefix}_{i}_1_0")(c, train)
                 c = Conv(c3, c3, 1, dtype=self.dtype, name=f"{cls_prefix}_{i}_1_1")(c, train)
                 c = conv2d(c, self.nc, 1, bias=True, dtype=self.dtype, name=f"{cls_prefix}_{i}_2")
-            outs.append(jnp.concatenate((b, c), axis=-1))
+            # box/cls stay separate per level — see ops.decode.split_feats for
+            # why the reference's packed cat (head.py:93) is avoided on TPU
+            outs.append((b, c))
         return outs
 
     @nn.compact

@@ -168,8 +168,9 @@ class BNContrastiveHead(nn.Module):
 class WorldDetect(nn.Module):
     """Detect head scoring regions against text embeddings (reference: head.py:432).
 
-    Returns raw per-level maps (B, H, W, 4*reg_max + K) where K =
-    text.shape[1]; decode/NMS happen downstream exactly like Detect.
+    Returns per-level (box (B, H, W, 4*reg_max), cls (B, H, W, K)) pairs where
+    K = text.shape[1]; decode/NMS happen downstream exactly like Detect
+    (see ops.decode.split_feats for why box/cls stay separate on TPU).
     """
 
     nc: int = 80
@@ -194,5 +195,5 @@ class WorldDetect(nn.Module):
             head = (BNContrastiveHead(self.embed, name=f"cv4_{i}") if self.with_bn
                     else ContrastiveHead(name=f"cv4_{i}"))
             c = head(e, text, train)
-            outs.append(jnp.concatenate([b, c.astype(b.dtype)], axis=-1))
+            outs.append((b, c.astype(b.dtype)))
         return outs

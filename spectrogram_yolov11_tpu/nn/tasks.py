@@ -501,7 +501,9 @@ class BaseModel:
         feats = out[0] if isinstance(out, tuple) else out  # Segment/Pose/OBB return tuples
         if isinstance(feats, dict):
             feats = feats["one2many"]
-        return np.array([s / f.shape[1] for f in feats], np.float32)
+        from spectrogram_yolov11_tpu.ops.decode import feat_shapes
+
+        return np.array([s / h for (h, w) in feat_shapes(feats)], np.float32)
 
     # -- parameter lifecycle --
     def init(self, rng: jax.Array, imgsz: int = 64) -> dict:
@@ -763,7 +765,9 @@ class WorldModel(BaseModel):
         txt = jnp.zeros((1, self.nc, 512), jnp.float32)
         v_shape = jax.eval_shape(lambda: self.graph.init(jax.random.PRNGKey(0), dummy, train=False, txt_feats=txt))
         out = jax.eval_shape(lambda v: self.graph.apply(v, dummy, train=False, txt_feats=txt), v_shape)
-        return np.array([s / f.shape[1] for f in out], np.float32)
+        from spectrogram_yolov11_tpu.ops.decode import feat_shapes
+
+        return np.array([s / h for (h, w) in feat_shapes(out)], np.float32)
 
     def _bias_init(self, variables: dict) -> None:
         # WorldDetect.bias_init sets only the box-branch bias (head.py:482 —

@@ -69,6 +69,33 @@ def flatten_feats(feats: List[jax.Array]) -> jax.Array:
     return jnp.concatenate([f.reshape(f.shape[0], -1, f.shape[-1]) for f in feats], axis=1)
 
 
+def split_feats(feats, reg_max: int = 16) -> Tuple[List[jax.Array], List[jax.Array]]:
+    """Normalize head output into separate (box_list, cls_list) streams.
+
+    The Detect family keeps box and class logits as separate per-level maps —
+    concatenating them into the reference's packed (B,H,W,4*reg_max+nc) layout
+    (reference head.py:93 `torch.cat((box, cls), 1)`) is a torch-ism: on TPU a
+    66-channel minor dim tiles to 128 lanes (~2x physical bytes) and the
+    concat + downstream re-split materialize extra HBM round trips. Packed
+    inputs are still accepted for compatibility (oracle tests, .pt ingest).
+    """
+    if isinstance(feats[0], (tuple, list)):
+        return [f[0] for f in feats], [f[1] for f in feats]
+    return ([f[..., : 4 * reg_max] for f in feats], [f[..., 4 * reg_max :] for f in feats])
+
+
+def concat_feats(feats) -> List[jax.Array]:
+    """Pack (box, cls) pairs back into the reference's per-level channel layout
+    (B, H, W, 4*reg_max+nc) — for oracle comparisons / reference-format export."""
+    return [jnp.concatenate(f, axis=-1) if isinstance(f, (tuple, list)) else f for f in feats]
+
+
+def feat_shapes(feats) -> List[Tuple[int, int]]:
+    """Per-level (H, W) of head output in either pair or packed form."""
+    return [((f[0].shape[1], f[0].shape[2]) if isinstance(f, (tuple, list)) else (f.shape[1], f.shape[2]))
+            for f in feats]
+
+
 def decode_detections(
     feats: List[jax.Array],
     nc: int,
@@ -77,15 +104,29 @@ def decode_detections(
 ) -> jax.Array:
     """Raw per-level maps -> (B, A, 4+nc): xywh boxes in input pixels + sigmoid class scores.
 
-    Pure function of the head output; jit-fuses with NMS downstream.
+    Pure function of the head output; jit-fuses with NMS downstream. Box and
+    class streams are decoded separately (see split_feats), and DFL/sigmoid
+    run PER LEVEL before the cross-level concat: both are per-anchor ops, so
+    concatenating the wide (B, A, 4*reg_max) logits first — as the reference
+    does (head.py:100) — only adds an extra HBM round trip of the full logits
+    (~5 MB/img at 640px bs-normalized) that the decoded (B, A, 4) skips.
     """
-    shapes = [(f.shape[1], f.shape[2]) for f in feats]
-    anchors, stride_t = make_anchors(shapes, strides)
-    x = flatten_feats(feats).astype(jnp.float32)
-    box_logits, cls_logits = x[..., : 4 * reg_max], x[..., 4 * reg_max :]
-    dist = dfl_decode(box_logits, reg_max)  # (B, A, 4)
+    anchors, stride_t = make_anchors(feat_shapes(feats), strides)
+    dist, scores = _decode_streams(feats, reg_max)
     boxes = dist2bbox(dist, anchors[None], xywh=True) * stride_t[None]
-    return jnp.concatenate([boxes, jax.nn.sigmoid(cls_logits)], axis=-1)
+    return jnp.concatenate([boxes, scores], axis=-1)
+
+
+def _decode_streams(feats, reg_max: int):
+    """Per-level DFL + sigmoid, then concat the small results:
+    (B, A, 4) f32 distances and (B, A, nc) f32 scores."""
+    box_list, cls_list = split_feats(feats, reg_max)
+    dists, scores = [], []
+    for b, c in zip(box_list, cls_list):
+        n = b.shape[0]
+        dists.append(dfl_decode(b.reshape(n, -1, 4 * reg_max), reg_max))
+        scores.append(jax.nn.sigmoid(c.reshape(n, -1, c.shape[-1])).astype(jnp.float32))
+    return jnp.concatenate(dists, axis=1), jnp.concatenate(scores, axis=1)
 
 
 def decode_obb(
@@ -99,14 +140,11 @@ def decode_obb(
 
     Angle activation (sigmoid-0.25)*pi matches reference head.py OBB.forward.
     """
-    shapes = [(f.shape[1], f.shape[2]) for f in feats]
-    anchors, stride_t = make_anchors(shapes, strides)
-    x = flatten_feats(feats).astype(jnp.float32)
-    box_logits, cls_logits = x[..., : 4 * reg_max], x[..., 4 * reg_max :]
+    anchors, stride_t = make_anchors(feat_shapes(feats), strides)
     angle = (jax.nn.sigmoid(angle_raw.astype(jnp.float32)) - 0.25) * np.pi
-    dist = dfl_decode(box_logits, reg_max)
+    dist, scores = _decode_streams(feats, reg_max)
     rbox = dist2rbox(dist, angle, anchors[None]) * stride_t[None]
-    return jnp.concatenate([rbox, angle, jax.nn.sigmoid(cls_logits)], axis=-1)
+    return jnp.concatenate([rbox, angle, scores], axis=-1)
 
 
 def decode_kpts(
@@ -130,13 +168,10 @@ def decode_kpts(
 def decode_e2e(feats: List[jax.Array], nc: int, strides: Sequence[float], reg_max: int = 16) -> jax.Array:
     """End-to-end (v10) decode: like decode_detections but boxes stay XYXY
     (reference Detect.decode_bboxes: xywh and (not end2end), head.py:146)."""
-    shapes = [(f.shape[1], f.shape[2]) for f in feats]
-    anchors, stride_t = make_anchors(shapes, strides)
-    x = flatten_feats(feats).astype(jnp.float32)
-    box_logits, cls_logits = x[..., : 4 * reg_max], x[..., 4 * reg_max :]
-    dist = dfl_decode(box_logits, reg_max)
+    anchors, stride_t = make_anchors(feat_shapes(feats), strides)
+    dist, scores = _decode_streams(feats, reg_max)
     boxes = dist2bbox(dist, anchors[None], xywh=False) * stride_t[None]
-    return jnp.concatenate([boxes, jax.nn.sigmoid(cls_logits)], axis=-1)
+    return jnp.concatenate([boxes, scores], axis=-1)
 
 
 def nms_free_postprocess(preds: jax.Array, max_det: int, nc: int):

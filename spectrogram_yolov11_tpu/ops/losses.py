@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..nn.modules.block import dfl_decode
-from .decode import bbox2dist, dist2bbox, dist2rbox, flatten_feats, make_anchors
+from .decode import bbox2dist, dist2bbox, dist2rbox, feat_shapes, flatten_feats, make_anchors, split_feats
 from .iou import bbox_iou, probiou
 from .metrics import OKS_SIGMA
 from .tal import task_aligned_assign
@@ -136,13 +136,13 @@ def detection_loss(
     Returns (total_loss_scalar, loss_items (box, cls, dfl) detached-equivalent).
     total = (box*7.5 + cls*0.5 + dfl*1.5) * batch_size.
     """
-    b = feats[0].shape[0]
-    shapes = [(f.shape[1], f.shape[2]) for f in feats]
-    anchor_points, stride_t = make_anchors(shapes, strides)  # (A,2), (A,1)
+    box_list, cls_list = split_feats(feats, reg_max)
+    b = box_list[0].shape[0]
+    anchor_points, stride_t = make_anchors(feat_shapes(feats), strides)  # (A,2), (A,1)
 
-    x = flatten_feats(feats).astype(jnp.float32)  # (b, A, no)
-    pred_dist_logits = x[..., : 4 * reg_max].reshape(b, -1, 4, reg_max)
-    pred_scores = x[..., 4 * reg_max :]
+    box_flat = flatten_feats(box_list).astype(jnp.float32)  # (b, A, 4*reg_max)
+    pred_dist_logits = box_flat.reshape(b, -1, 4, reg_max)
+    pred_scores = flatten_feats(cls_list).astype(jnp.float32)  # (b, A, nc)
 
     # decode to xyxy in grid units (reference bbox_decode loss.py:212)
     pd = jax.nn.softmax(pred_dist_logits, axis=-1) @ jnp.arange(reg_max, dtype=jnp.float32)
@@ -194,16 +194,16 @@ def crop_mask(masks: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
 
 def _assign_for_feats(feats, cls, bboxes, mask_gt, nc, reg_max, imgsz, strides, tal_topk=10):
     """Shared front half of all detect-family losses: flatten, decode, assign."""
-    b = feats[0].shape[0]
-    shapes = [(f.shape[1], f.shape[2]) for f in feats]
-    anchor_points, stride_t = make_anchors(shapes, strides)
-    x = flatten_feats(feats).astype(jnp.float32)
-    pred_dist_logits = x[..., : 4 * reg_max].reshape(b, -1, 4, reg_max)
-    pred_scores = x[..., 4 * reg_max :]
+    box_list, cls_list = split_feats(feats, reg_max)
+    b = box_list[0].shape[0]
+    anchor_points, stride_t = make_anchors(feat_shapes(feats), strides)
+    box_flat = flatten_feats(box_list).astype(jnp.float32)
+    pred_dist_logits = box_flat.reshape(b, -1, 4, reg_max)
+    pred_scores = flatten_feats(cls_list).astype(jnp.float32)
     # lane-friendly matmul decode (see dfl_decode) instead of softmax on the
     # minor-16 view; pred_dist_logits keeps the (b, A, 4, reg_max) view for
     # df_loss's per-bin cross-entropy.
-    pd = dfl_decode(x[..., : 4 * reg_max], reg_max)
+    pd = dfl_decode(box_flat, reg_max)
     pred_bboxes = dist2bbox(pd, anchor_points[None], xywh=False)
     gt_labels, gt_xyxy_px, mask_gt3 = preprocess_targets(cls, bboxes, mask_gt, float(imgsz))
     assign = task_aligned_assign(
@@ -245,10 +245,10 @@ def segmentation_loss(
     anchors (highest target-score first) so the mask einsum keeps a static
     shape; the reference iterates all fg anchors dynamically.
     """
-    b = feats[0].shape[0]
     anchor_points, stride_t, pdl, pred_scores, pred_bboxes, assign = _assign_for_feats(
         feats, cls, bboxes, mask_gt, nc, reg_max, imgsz, strides
     )
+    b = pred_scores.shape[0]
     target_scores_sum = jnp.maximum(assign.target_scores.sum(), 1.0)
     loss_cls = _bce_logits(pred_scores, assign.target_scores).sum() / target_scores_sum
     loss_iou, loss_dfl = bbox_loss(
@@ -321,11 +321,11 @@ def pose_loss(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """v8PoseLoss (reference: loss.py:461-613): detect losses + OKS-style
     keypoint location loss + keypoint-visibility BCE, masked over fg anchors."""
-    b = feats[0].shape[0]
     nk, nd = kpt_shape
     anchor_points, stride_t, pdl, pred_scores, pred_bboxes, assign = _assign_for_feats(
         feats, cls, bboxes, mask_gt, nc, reg_max, imgsz, strides
     )
+    b = pred_scores.shape[0]
     target_scores_sum = jnp.maximum(assign.target_scores.sum(), 1.0)
     loss_cls = _bce_logits(pred_scores, assign.target_scores).sum() / target_scores_sum
     loss_iou, loss_dfl = bbox_loss(
@@ -387,12 +387,11 @@ def obb_loss(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """v8OBBLoss (reference: loss.py:627-740): rotated TAL (probiou metric) +
     (1 - probiou) box loss + DFL on the unrotated extent."""
-    b = feats[0].shape[0]
-    shapes = [(f.shape[1], f.shape[2]) for f in feats]
-    anchor_points, stride_t = make_anchors(shapes, strides)
-    x = flatten_feats(feats).astype(jnp.float32)
-    pred_dist_logits = x[..., : 4 * reg_max].reshape(b, -1, 4, reg_max)
-    pred_scores = x[..., 4 * reg_max :]
+    box_list, cls_list = split_feats(feats, reg_max)
+    b = box_list[0].shape[0]
+    anchor_points, stride_t = make_anchors(feat_shapes(feats), strides)
+    pred_dist_logits = flatten_feats(box_list).astype(jnp.float32).reshape(b, -1, 4, reg_max)
+    pred_scores = flatten_feats(cls_list).astype(jnp.float32)
     angle = (jax.nn.sigmoid(pred_angle.astype(jnp.float32)) - 0.25) * np.pi  # (b, A, 1)
     pd = jax.nn.softmax(pred_dist_logits, axis=-1) @ jnp.arange(reg_max, dtype=jnp.float32)
     pred_rbox = dist2rbox(pd, angle, anchor_points[None])  # grid units (cx cy w h)

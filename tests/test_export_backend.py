@@ -24,9 +24,11 @@ def test_export_ckpt_roundtrip(small_model, tmp_path):
     # same weights -> same forward
     import jax.numpy as jnp
 
+    from spectrogram_yolov11_tpu.ops.decode import concat_feats
+
     x = jnp.zeros((1, 64, 64, 3))
-    a = small_model.model.apply(small_model.variables, x)
-    b = m2.model.apply(m2.variables, x)
+    a = concat_feats(small_model.model.apply(small_model.variables, x))
+    b = concat_feats(m2.model.apply(m2.variables, x))
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-6)
 
 

@@ -36,13 +36,16 @@ def test_param_count_matches_reference(model_and_vars):
 
 
 def test_forward_shapes(model_and_vars):
+    # heads emit per-level (box 4*reg_max, cls nc) pairs — ops.decode.split_feats
+    # documents why the reference's packed 144-channel map is avoided on TPU
     m, v = model_and_vars
     x = jnp.zeros((2, 64, 64, 3))
+    expect = [((2, 8, 8, 64), (2, 8, 8, 80)), ((2, 4, 4, 64), (2, 4, 4, 80)), ((2, 2, 2, 64), (2, 2, 2, 80))]
     out = jax.jit(lambda v, x: m.apply(v, x))(v, x)
-    assert [o.shape for o in out] == [(2, 8, 8, 144), (2, 4, 4, 144), (2, 2, 2, 144)]
+    assert [(b.shape, c.shape) for b, c in out] == expect
     # train mode returns (out, new_batch_stats)
     out_t, bs = jax.jit(lambda v, x: m.apply(v, x, train=True))(v, x)
-    assert [o.shape for o in out_t] == [(2, 8, 8, 144), (2, 4, 4, 144), (2, 2, 2, 144)]
+    assert [(b.shape, c.shape) for b, c in out_t] == expect
     assert set(bs.keys()) == set(v["batch_stats"].keys())
 
 

@@ -52,7 +52,9 @@ def test_forward_parity_raw_feats(ref_model, jx):
     rng = np.random.default_rng(0)
     x = rng.standard_normal((2, 3, 96, 96), dtype=np.float32) * 0.5 + 0.25
     ref = _torch_raw(ref_model, x)  # list of (B, no, H, W)
-    ours = jax.jit(lambda v, x: m.apply(v, x))(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    from spectrogram_yolov11_tpu.ops.decode import concat_feats
+
+    ours = concat_feats(jax.jit(lambda v, x: m.apply(v, x))(v, jnp.asarray(x.transpose(0, 2, 3, 1))))
     assert len(ref) == len(ours)
     for r, o in zip(ref, ours):
         o_nchw = np.asarray(o).transpose(0, 3, 1, 2)
@@ -90,6 +92,8 @@ def test_yolov8_legacy_head_parity():
     rng = np.random.default_rng(2)
     x = rng.standard_normal((1, 3, 64, 64), dtype=np.float32) * 0.4
     ref = _torch_raw(tm, x)
-    ours = jax.jit(lambda v, x: jm.apply(v, x))(v, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    from spectrogram_yolov11_tpu.ops.decode import concat_feats
+
+    ours = concat_feats(jax.jit(lambda v, x: jm.apply(v, x))(v, jnp.asarray(x.transpose(0, 2, 3, 1))))
     for r, o in zip(ref, ours):
         np.testing.assert_allclose(np.asarray(o).transpose(0, 3, 1, 2), r, atol=2e-4, rtol=2e-3)

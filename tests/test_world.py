@@ -42,7 +42,9 @@ def test_world_forward_parity():
 
     with torch.no_grad():
         y_t, feats_t = tm.predict(torch.from_numpy(x), txt_feats=torch.from_numpy(txt))
-    out_j = jm.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False, txt_feats=jnp.asarray(txt))
+    from spectrogram_yolov11_tpu.ops.decode import concat_feats
+
+    out_j = concat_feats(jm.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False, txt_feats=jnp.asarray(txt)))
     for i, ft in enumerate(feats_t):
         fj = np.asarray(out_j[i]).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(fj, ft.numpy(), atol=2e-3)

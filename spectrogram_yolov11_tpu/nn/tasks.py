@@ -109,6 +109,13 @@ MODULE_REGISTRY: Dict[str, Any] = {
     "Classify": M.Classify,
     "RTDETRDecoder": M.RTDETRDecoder,
     "v10Detect": M.Detect,  # same param structure; end2end+light-cls kwargs set in parse_model
+    # YOLO-NAS family (native re-implementation, nn/modules/nas.py)
+    "QARepVGG": M.QARepVGG,
+    "NASStage": M.NASStage,
+    "NASCSP": M.NASCSP,
+    "NASReduce": M.NASReduce,
+    "NASDown": M.NASDown,
+    "NASUpsample": M.NASUpsample,
     # world (open-vocabulary) family
     "C2fAttn": M.C2fAttn,
     "ImagePoolingAttn": M.ImagePoolingAttn,
@@ -169,6 +176,7 @@ BASE_MODULES = {
     M.SAPF, M.DDWConv, M.ConvOMN, M.MaxConv, M.GhostMaxConv, M.ConvHCA, M.GhostConvMax,
     M.FilterMaxConv, M.MaxConvHCA, M.C3k2GC, M.C3MSCk2, M.XCBAM2C2f, M.CoordAtt, M.HCoordAtt,
     M.MaxHCoordAtt, M.AKCBAM, M.C3GC,
+    M.QARepVGG, M.NASStage, M.NASCSP, M.NASReduce, M.NASDown, M.NASUpsample,
 }
 REPEAT_MODULES = {
     M.BottleneckCSP, M.C1, M.C2, M.C2f, M.C3k2, M.C3, M.C3Ghost, M.C3TR, M.C3x, M.RepC3, M.C2fPSA,

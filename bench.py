@@ -157,6 +157,72 @@ def bench_train() -> None:
     print(json.dumps({"metric": "train img/s/chip (full step, scan-fenced)", "sweep": out}))
 
 
+def bench_data() -> None:
+    """`python bench.py --data`: host augmentation-pipeline throughput
+    (mosaic4 + random_perspective + HSV + flips + Format collate) by worker
+    count — answers SURVEY hard-part #4 ("can the thread pipeline feed N
+    chips"): compare against the measured full-train-step consumption rate
+    (985 img/s/chip @bs128 bf16, ROUND3_NOTES §2) to get chips-fed-per-host."""
+    import os
+
+    import jax  # noqa: F401  (parity with other modes' env setup)
+
+    from spectrogram_yolov11_tpu.engine.trainer import DetectionTrainer
+
+    t = DetectionTrainer(overrides=dict(
+        model="spectrogram_yolo11.yaml", data="spectrogram_synth.yaml",
+        epochs=1, batch=64, imgsz=640, val=False, save=False, plots=False,
+        workers=2, seed=0, name="benchdata", exist_ok=True,
+    ))
+    t.setup_model()
+    ds = t.build_dataset("train", augment=True)
+    chip_rate = 985.0  # img/s/chip, full bf16 train step @bs128 (ROUND3_NOTES §2)
+
+    # Per-image pipeline cost, measured single-threaded: on this 1-CPU dev
+    # host a loader-loop measurement only replays the prefetch ring (the
+    # synthetic train split is 2 batches/epoch), so the honest number is the
+    # per-item cost; feeding rate scales ~linearly with cores because cv2's
+    # warps/resizes release the GIL (the thread pool is not serialized on the
+    # GIL for the dominant ops).
+    rng = np.random.default_rng(0)
+    n_items = 200
+    idxs = rng.integers(0, len(ds), n_items)
+    ds.get_item(0, np.random.default_rng(0))  # warm lazy caches (labels, RAM images)
+    t0 = time.perf_counter()
+    for j, i in enumerate(idxs):
+        ds.get_item(int(i), np.random.default_rng(j))
+    per_img_ms = (time.perf_counter() - t0) / n_items * 1e3
+
+    # collate cost per image at bs64 (stacking + GT padding)
+    from spectrogram_yolov11_tpu.data.build import collate
+
+    items = [ds.get_item(int(i), np.random.default_rng(j)) for j, i in enumerate(idxs[:64])]
+    t0 = time.perf_counter()
+    for _ in range(4):
+        collate(items)
+    collate_ms = (time.perf_counter() - t0) / (4 * 64) * 1e3
+
+    # plain (close_mosaic / val-style letterbox) path for the breakdown
+    ds_plain = t.build_dataset("train", augment=False)
+    ds_plain.get_item(0, np.random.default_rng(0))
+    t0 = time.perf_counter()
+    for j, i in enumerate(idxs[:100]):
+        ds_plain.get_item(int(i), np.random.default_rng(j))
+    plain_ms = (time.perf_counter() - t0) / 100 * 1e3
+
+    total_ms = per_img_ms + collate_ms
+    core_rate = 1e3 / total_ms
+    print(json.dumps({
+        "metric": "host data-pipeline per-image cost",
+        "augment_ms": round(per_img_ms, 3),  # mosaic4+perspective+HSV+flips+format
+        "plain_ms": round(plain_ms, 3),  # letterbox+format (close_mosaic / val path)
+        "collate_ms_per_img": round(collate_ms, 3),
+        "img_per_s_per_core": round(core_rate, 1),
+        "host_cpus": os.cpu_count(),
+        "cores_to_feed_one_chip_at_985imgps": round(chip_rate / core_rate, 2),
+    }))
+
+
 def main() -> None:
     import jax
 
@@ -335,5 +401,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--train" in sys.argv:
         bench_train()
+    elif "--data" in sys.argv:
+        bench_data()
     else:
         main()

@@ -76,3 +76,42 @@ def test_cpp_consumer_matches_python(tmp_path):
     iou = inter / (area(a) + area(b) - inter)
     assert iou.min() > 0.99, iou
     assert "det b=0" in r.stdout  # boxes printed like the reference demo apps
+
+
+@pytest.mark.slow
+def test_cpp_consumer_runs_segment_graph(tmp_path):
+    """The native consumer is task-generic: a SEGMENT export (det + n_valid +
+    mask stack outputs, embedded NMS + mask einsum) executes through the same
+    C++ app and matches the Python graph bit-for-bit-ish (f32 CPU XLA both
+    sides). Proves the task-complete exporter end-to-end beyond detect."""
+    from spectrogram_yolov11_tpu.engine.exporter import Exporter, build_inference_fn
+    from spectrogram_yolov11_tpu.nn.tasks import build_model
+
+    imgsz, conf = 160, 1e-5  # random-init scores are tiny: keep all candidates
+    model = build_model("yolo11n-seg.yaml", nc=3, verbose=False)
+    variables = model.init(jax.random.PRNGKey(7), imgsz=imgsz)
+    ex = Exporter(model, variables, {"format": "stablehlo", "imgsz": imgsz, "nms": True,
+                                     "conf": conf, "batch": 1, "project": str(tmp_path),
+                                     "name": "seg", "exist_ok": True})
+    stem = str(ex())[: -len(".stablehlo")]
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (1, imgsz, imgsz, 3), dtype=np.uint8)
+    img_bin = tmp_path / "image.bin"
+    img.tofile(img_bin)
+
+    det_p, nv_p, masks_p = (np.asarray(o) for o in
+                            build_inference_fn(model, nms=True, conf=conf)(variables, jnp.asarray(img)))
+    assert int(nv_p[0]) > 0  # the graph really selected candidates
+
+    r = subprocess.run([str(_binary()), stem, str(img_bin), "0.0"],
+                       capture_output=True, text=True, timeout=900, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    det_c = np.fromfile(tmp_path / "out_0.bin", np.float32).reshape(det_p.shape)
+    nv_c = np.fromfile(tmp_path / "out_1.bin", np.int32)
+    masks_c = np.fromfile(tmp_path / "out_2.bin", np.float32).reshape(masks_p.shape)
+
+    assert nv_c[0] == nv_p[0]
+    n = int(nv_p[0])
+    np.testing.assert_allclose(det_c[0, :n], det_p[0, :n], atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(masks_c[0, :n], masks_p[0, :n], atol=1e-4, rtol=1e-3)

@@ -47,6 +47,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline anchors to the published T4-TensorRT10 yolo11n latency of
 1.5 ms/img ~= 667 img/s (inference-only — beating it end-to-end is a strict
 win).
+
+Extra modes (not part of the headline JSON):
+  --train  scan-fenced full-train-step throughput sweep (ROUND3_NOTES §2)
+  --data   per-image host pipeline cost: augment vs plain vs collate
 """
 
 from __future__ import annotations

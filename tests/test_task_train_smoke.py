@@ -13,6 +13,8 @@ from spectrogram_yolov11_tpu.engine.trainer import TASK2TRAINER
     ("segment", "shapes128-seg.yaml", "yolo11n-seg.yaml"),
     ("pose", "shapes128-pose.yaml", "yolo11n-pose.yaml"),
     ("obb", "shapes128-obb.yaml", "yolo11n-obb.yaml"),
+    # the native YOLO-NAS architecture through the standard detect trainer
+    ("detect", "shapes128.yaml", "yolo_nas_s.yaml"),
 ])
 def test_task_train_smoke(tmp_path, task, data, model):
     t = TASK2TRAINER[task](overrides=dict(

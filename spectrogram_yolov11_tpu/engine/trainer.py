@@ -478,6 +478,14 @@ class BaseTrainer:
 
     def _resume(self):
         path = self.last if self.last.exists() else Path(str(self.args.resume))
+        if not path.exists() and str(self.args.resume).lower() in {"true", "1"}:
+            # bare resume=True: pick up the newest run like the reference's
+            # get_latest_run (check_resume, trainer.py:691-721)
+            from spectrogram_yolov11_tpu.utils import get_latest_run
+
+            latest = get_latest_run(Path(self.args.project) if self.args.project else None)
+            if latest:
+                path = Path(latest)
         if not path.exists():
             LOGGER.warning(f"resume checkpoint not found at {path}; training from scratch")
             return

@@ -148,6 +148,14 @@ def clean_url(url: str) -> str:
     return str(url).split("?")[0]
 
 
+def get_latest_run(search_dir: str | Path | None = None) -> str:
+    """Newest last*.ckpt under the runs dir — powers `resume=True` without an
+    explicit path (reference: utils/files.py get_latest_run)."""
+    root = Path(search_dir) if search_dir else RUNS_DIR
+    ckpts = list(root.rglob("last*.ckpt"))
+    return str(max(ckpts, key=lambda p: p.stat().st_mtime)) if ckpts else ""
+
+
 def increment_path(path: str | Path, exist_ok: bool = False, sep: str = "", mkdir: bool = False) -> Path:
     """runs/exp -> runs/exp2, runs/exp3 ... (reference: utils/files.py:107)."""
     path = Path(path)

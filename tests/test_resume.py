@@ -71,3 +71,34 @@ def test_resume_seeds_state(tmp_path):
     assert t._resumed["opt_state"] is not None
     assert _tree_max_abs(t._resumed["opt_state"]["mu"]) == 0.5
     assert t._resumed["ema"] is not None
+
+
+def test_resume_true_finds_latest_run(tmp_path):
+    """Bare resume=True locates the newest last*.ckpt like the reference's
+    get_latest_run (utils/files.py)."""
+    import time
+
+    from spectrogram_yolov11_tpu.engine.checkpoint import save_checkpoint
+    from spectrogram_yolov11_tpu.utils import get_latest_run
+
+    t0 = DetectionTrainer(overrides=dict(
+        data=DATA, model="yolo11n.yaml", imgsz=64, batch=2, workers=0, epochs=1,
+        val=False, save=False, project=str(tmp_path), name="old", exist_ok=True,
+    ))
+    t0.setup_model()
+    for name, epoch in (("old", 1), ("new", 5)):
+        d = tmp_path / name / "weights"
+        d.mkdir(parents=True, exist_ok=True)
+        save_checkpoint(d / "last.ckpt", variables=t0.variables, ema_variables=None,
+                        opt_state=None, updates=0, epoch=epoch, best_fitness=0.1)
+        time.sleep(0.05)  # distinct mtimes
+    assert get_latest_run(tmp_path).endswith("new/weights/last.ckpt")
+
+    t = DetectionTrainer(overrides=dict(
+        data=DATA, model="yolo11n.yaml", imgsz=64, batch=2, workers=0, epochs=6,
+        val=False, save=False, project=str(tmp_path), name="resumed", exist_ok=True,
+        resume=True,
+    ))
+    t.setup_model()
+    t._resume()
+    assert t.start_epoch == 6  # picked up the NEWEST run (epoch 5 + 1)

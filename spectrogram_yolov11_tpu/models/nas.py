@@ -26,7 +26,54 @@ raw form, so DetectionPredictor/DetectionValidator apply unchanged.
 
 from __future__ import annotations
 
+import copy
 from pathlib import Path
+
+
+def fuse_nas(model, variables):
+    """Re-parameterize a trained NAS model for serving: every QARepVGG's
+    three branches + two BNs fold into ONE biased 3x3 conv (exact algebra,
+    `nn.modules.nas.fuse_qarepvgg`). Returns (deploy_model, deploy_variables).
+
+    The reference can't offer this at all (its NAS weights live inside
+    super-gradients); here it's a pure pytree transform + a graph rebuild
+    with `deploy=True` specs. XLA never folds parallel convs, so this is a
+    genuine graph simplification, not something compilation already does.
+    """
+    from spectrogram_yolov11_tpu.nn import modules as M
+    from spectrogram_yolov11_tpu.nn.tasks import LayerSpec, YOLOGraph
+    from spectrogram_yolov11_tpu.nn.modules.nas import fuse_qarepvgg
+
+    nas_classes = {M.QARepVGG, M.NASStage, M.NASCSP}
+
+    def walk(p, s):
+        """Mirror-walk params/batch_stats; fold QARepVGG subtrees."""
+        if isinstance(p, dict) and "branch_3x3" in p and "post_bn" in p:
+            k, b = fuse_qarepvgg(p, s or {})
+            return {"reparam": {"kernel": k, "bias": b}}, None
+        if not isinstance(p, dict):
+            return p, s
+        new_p, new_s = {}, {}
+        for key in set(p) | set(s or {}):
+            sp, ss = walk(p.get(key), (s or {}).get(key))
+            if sp is not None:
+                new_p[key] = sp
+            if ss is not None and (isinstance(ss, dict) and ss or not isinstance(ss, dict)):
+                new_s[key] = ss
+        return new_p, (new_s or None)
+
+    params2, stats2 = walk(variables["params"], variables.get("batch_stats", {}))
+    deploy_vars = {"params": params2, "batch_stats": stats2 or {}}
+
+    m2 = copy.copy(model)
+    m2.specs = [
+        LayerSpec(sp.i, sp.f, sp.n, sp.cls, sp.args,
+                  {**dict(sp.kwargs), "deploy": True} if sp.cls in nas_classes else dict(sp.kwargs),
+                  sp.type)
+        for sp in model.specs
+    ]
+    m2.graph = YOLOGraph(specs=tuple(m2.specs), save=tuple(model.save), dtype=model.dtype)
+    return m2, deploy_vars
 
 
 class NAS:

@@ -42,16 +42,26 @@ class QARepVGG(nn.Module):
 
     y = ReLU(postBN(conv3x3+BN(x) + conv1x1(x) [+ x]))
     The identity branch exists only when shapes allow (c1==c2, s==1).
+
+    deploy=True switches to the re-parameterized single-conv form
+    (conv3x3 with bias -> ReLU); `fuse_qarepvgg` / `models.nas.fuse_nas`
+    produce its parameters from a trained 3-branch tree. XLA fuses
+    elementwise chains but never folds PARALLEL convs, so this transform is
+    a real serving win (one conv instead of two + BN + adds per block).
     """
 
     c1: int
     c2: int
     s: int = 1
+    deploy: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_dt = x.dtype
+        if self.deploy:
+            y = conv2d(x, self.c2, 3, self.s, 1, bias=True, dtype=self.dtype, name="reparam")
+            return jax.nn.relu(y).astype(self.dtype or in_dt)
         y3 = conv2d(x, self.c2, 3, self.s, 1, dtype=self.dtype, name="branch_3x3")
         y3 = batch_norm(y3, train, name="branch_3x3_bn")
         y1 = conv2d(x, self.c2, 1, self.s, 0, dtype=self.dtype, name="branch_1x1")
@@ -62,6 +72,37 @@ class QARepVGG(nn.Module):
         return jax.nn.relu(y).astype(self.dtype or in_dt)
 
 
+def fuse_qarepvgg(params: dict, stats: dict, eps: float = 1e-3):
+    """Fold a trained QARepVGG subtree into (kernel (3,3,c1,c2), bias (c2,)).
+
+    Exact algebra (the quantization-aware design guarantee): BN-scale the
+    3x3 branch, center-pad the 1x1 branch, add the center identity when
+    c1==c2 (in this architecture c1==c2 implies s==1 — every channel-
+    preserving block is stride-1), then fold post_bn's affine into both.
+    """
+    import numpy as np
+
+    w3 = np.asarray(params["branch_3x3"]["kernel"], np.float32)
+    g3 = np.asarray(params["branch_3x3_bn"]["scale"], np.float32)
+    be3 = np.asarray(params["branch_3x3_bn"]["bias"], np.float32)
+    mu3 = np.asarray(stats["branch_3x3_bn"]["mean"], np.float32)
+    var3 = np.asarray(stats["branch_3x3_bn"]["var"], np.float32)
+    s3 = g3 / np.sqrt(var3 + eps)
+    w = w3 * s3
+    b = be3 - mu3 * s3
+    w1 = np.asarray(params["branch_1x1"]["kernel"], np.float32)  # (1,1,c1,c2)
+    w[1:2, 1:2] += w1
+    c1, c2 = w.shape[2], w.shape[3]
+    if c1 == c2:  # identity branch was live (s==1 for all c1==c2 blocks)
+        w[1, 1] += np.eye(c1, dtype=np.float32)
+    gp = np.asarray(params["post_bn"]["scale"], np.float32)
+    bp = np.asarray(params["post_bn"]["bias"], np.float32)
+    mup = np.asarray(stats["post_bn"]["mean"], np.float32)
+    varp = np.asarray(stats["post_bn"]["var"], np.float32)
+    sp = gp / np.sqrt(varp + eps)
+    return w * sp, (b - mup) * sp + bp
+
+
 class NASBottleneck(nn.Module):
     """Two QARepVGG convs with a learnable-alpha residual
     (super-gradients YoloNASBottleneck, use_alpha=True)."""
@@ -69,12 +110,13 @@ class NASBottleneck(nn.Module):
     c1: int
     c2: int
     shortcut: bool = True
+    deploy: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = QARepVGG(self.c1, self.c2, 1, dtype=self.dtype, name="cv1")(x, train)
-        y = QARepVGG(self.c2, self.c2, 1, dtype=self.dtype, name="cv2")(y, train)
+        y = QARepVGG(self.c1, self.c2, 1, deploy=self.deploy, dtype=self.dtype, name="cv1")(x, train)
+        y = QARepVGG(self.c2, self.c2, 1, deploy=self.deploy, dtype=self.dtype, name="cv2")(y, train)
         if self.shortcut and self.c1 == self.c2:
             alpha = self.param("alpha", nn.initializers.ones, (), jnp.float32)
             y = x + alpha.astype(y.dtype) * y
@@ -90,6 +132,7 @@ class NASCSP(nn.Module):
     c2: int
     n: int = 1
     e: float = 0.5
+    deploy: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -98,7 +141,7 @@ class NASCSP(nn.Module):
         y1 = Conv(self.c1, c_, 1, 1, act="relu", dtype=self.dtype, name="conv1")(x, train)
         y2 = Conv(self.c1, c_, 1, 1, act="relu", dtype=self.dtype, name="conv2")(x, train)
         for i in range(self.n):
-            y1 = NASBottleneck(c_, c_, dtype=self.dtype, name=f"bottlenecks_{i}")(y1, train)
+            y1 = NASBottleneck(c_, c_, deploy=self.deploy, dtype=self.dtype, name=f"bottlenecks_{i}")(y1, train)
         y = jnp.concatenate([y1, y2], axis=-1)
         return Conv(2 * c_, self.c2, 1, 1, act="relu", dtype=self.dtype, name="conv3")(y, train)
 
@@ -110,12 +153,13 @@ class NASStage(nn.Module):
     c1: int
     c2: int
     n: int = 1
+    deploy: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = QARepVGG(self.c1, self.c2, 2, dtype=self.dtype, name="downsample")(x, train)
-        return NASCSP(self.c2, self.c2, self.n, dtype=self.dtype, name="blocks")(x, train)
+        x = QARepVGG(self.c1, self.c2, 2, deploy=self.deploy, dtype=self.dtype, name="downsample")(x, train)
+        return NASCSP(self.c2, self.c2, self.n, deploy=self.deploy, dtype=self.dtype, name="blocks")(x, train)
 
 
 class NASReduce(nn.Module):

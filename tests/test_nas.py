@@ -121,3 +121,29 @@ def test_nas_loss_trainable():
     assert np.isfinite(float(val))
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+
+def test_fuse_nas_deploy_parity():
+    """fuse_nas: the re-parameterized single-conv deploy graph matches the
+    trained 3-branch graph in eval mode, after real BN-stat updates."""
+    from spectrogram_yolov11_tpu.models.nas import fuse_nas
+    from spectrogram_yolov11_tpu.nn.tasks import build_model
+
+    m = build_model("yolo_nas_s.yaml", nc=2, verbose=False)
+    v = m.init(jax.random.PRNGKey(5), imgsz=64)
+    x = jnp.asarray(np.random.default_rng(9).uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    # one train-mode pass moves BN means/vars off their init values
+    _, new_stats = m.apply(v, x, train=True)
+    v = {"params": v["params"], "batch_stats": new_stats}
+
+    ref = m.apply(v, x, train=False)
+    m2, v2 = fuse_nas(m, v)
+    got = m2.apply(v2, x, train=False)
+
+    # deploy tree really is re-parameterized: no branch convs remain
+    flat = str(jax.tree_util.tree_structure(v2["params"]))
+    assert "branch_3x3" not in flat and "reparam" in flat
+
+    for (rb, rc), (gb, gc) in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), atol=2e-3, rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(rc), atol=2e-3, rtol=2e-3)

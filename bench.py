@@ -103,17 +103,21 @@ def bench_train() -> None:
     from spectrogram_yolov11_tpu.engine.trainer import DetectionTrainer
 
     out = {}
-    for batch_size in (64, 128):
+    # devaug=True runs the mosaic/warp/HSV/flip image assembly ON-CHIP inside
+    # the same jitted step (ops/device_augment.py) — the delta vs the host-fed
+    # row is the on-chip augmentation cost
+    for batch_size, devaug in ((64, False), (128, False), (128, True)):
         t = DetectionTrainer(overrides=dict(
             model="spectrogram_yolo11.yaml", data="spectrogram_synth.yaml",
             epochs=1, batch=batch_size, imgsz=640, amp=True, val=False, save=False,
-            plots=False, workers=2, seed=0, name=f"benchtrain_bs{batch_size}", exist_ok=True,
+            plots=False, workers=2, seed=0, device_augment=devaug,
+            name=f"benchtrain_bs{batch_size}{'_devaug' if devaug else ''}", exist_ok=True,
         ))
         t.setup_model()
         ds = t.build_dataset("train", augment=True)
         batch = next(iter(DataLoader(ds, batch_size, shuffle=True, seed=0, workers=2, drop_last=False)))
-        batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()
-                 if k in {"img", "cls", "bboxes", "mask_gt"}}
+        keys = {"img", "cls", "bboxes", "mask_gt", "aug_src", "aug_regions", "aug_pads", "aug_inv", "aug_hsv"}
+        batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items() if k in keys}
         opt_cfg = choose_optimizer(t.args, t.data["nc"], 100)
         groups = param_groups(t.variables["params"])
         wd = float(t.args.weight_decay)
@@ -156,8 +160,9 @@ def bench_train() -> None:
             t0 = time.perf_counter()
             float(scan_steps(state, batch))
             best = min(best, (time.perf_counter() - t0) / (reps * batch_size))
-        out[batch_size] = round(1.0 / best)
-        print(f"bs{batch_size}: {best*1e3:.3f} ms/img -> {out[batch_size]} img/s", flush=True)
+        label = f"bs{batch_size}{'_devaug' if devaug else ''}"
+        out[label] = round(1.0 / best)
+        print(f"{label}: {best*1e3:.3f} ms/img -> {out[label]} img/s", flush=True)
     print(json.dumps({"metric": "train img/s/chip (full step, scan-fenced)", "sweep": out}))
 
 
@@ -214,16 +219,30 @@ def bench_data() -> None:
         ds_plain.get_item(int(i), np.random.default_rng(j))
     plain_ms = (time.perf_counter() - t0) / 100 * 1e3
 
+    # device-augment mode: host keeps decode/resize + label math only; the
+    # mosaic/warp/HSV/flip image work moves on-chip (ops/device_augment.py)
+    t.args.device_augment = True
+    ds_dev = t.build_dataset("train", augment=True)
+    ds_dev.get_item(0, np.random.default_rng(0))
+    t0 = time.perf_counter()
+    for j, i in enumerate(idxs[:100]):
+        ds_dev.get_item(int(i), np.random.default_rng(j))
+    devaug_host_ms = (time.perf_counter() - t0) / 100 * 1e3
+
     total_ms = per_img_ms + collate_ms
     core_rate = 1e3 / total_ms
+    dev_core_rate = 1e3 / (devaug_host_ms + collate_ms)
     print(json.dumps({
         "metric": "host data-pipeline per-image cost",
         "augment_ms": round(per_img_ms, 3),  # mosaic4+perspective+HSV+flips+format
         "plain_ms": round(plain_ms, 3),  # letterbox+format (close_mosaic / val path)
+        "device_augment_host_ms": round(devaug_host_ms, 3),  # decode/resize + labels only
         "collate_ms_per_img": round(collate_ms, 3),
         "img_per_s_per_core": round(core_rate, 1),
+        "img_per_s_per_core_device_augment": round(dev_core_rate, 1),
         "host_cpus": os.cpu_count(),
         "cores_to_feed_one_chip_at_985imgps": round(chip_rate / core_rate, 2),
+        "cores_to_feed_one_chip_device_augment": round(chip_rate / dev_core_rate, 2),
     }))
 
 

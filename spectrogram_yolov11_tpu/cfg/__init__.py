@@ -59,7 +59,7 @@ CFG_BOOL_KEYS = {
     "val", "save_json", "save_hybrid", "half", "dnn", "plots", "show", "save_txt", "save_conf",
     "save_crop", "save_frames", "show_labels", "show_conf", "visualize", "augment", "agnostic_nms",
     "retina_masks", "show_boxes", "keras", "optimize", "int8", "dynamic", "simplify", "nms",
-    "profile", "multi_scale",
+    "profile", "multi_scale", "device_augment",
 }
 
 

@@ -84,16 +84,25 @@ def mosaic4(
     samples: List[Dict],
     imgsz: int,
     rng,
+    compose_image: bool = True,
 ) -> Dict:
     """4-image mosaic onto a 2s x 2s canvas (reference: augment.py:490-700).
 
     Center (xc, yc) ~ U(s/2, 3s/2) via border = -s/2; tiles clipped to canvas;
     labels (boxes / polygons / keypoints) offset by the tile's (padw, padh).
+
+    compose_image=False (device-augment mode, ops/device_augment.py): the
+    canvas is never built on host — the sample instead carries ``tiles``
+    (padded source stack + canvas rects + offsets) for the TPU compositor.
+    Label math and rng draw order are identical in both modes.
     """
     s = imgsz
     border = (-s // 2, -s // 2)
     yc, xc = (int(rng.uniform(-b, 2 * s + b)) for b in border)
-    canvas = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
+    canvas = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8) if compose_image else None
+    tiles_src = None if compose_image else np.zeros((4, s, s, 3), np.uint8)
+    tiles_reg = np.zeros((4, 4), np.int32)
+    tiles_pad = np.zeros((4, 2), np.int32)
     has_seg = "segments" in samples[0]
     has_kpt = "keypoints" in samples[0]
     cls_out, box_out, seg_out, kpt_out = [], [], [], []
@@ -112,7 +121,12 @@ def mosaic4(
         else:  # bottom-right
             x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
             x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
-        canvas[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+        if compose_image:
+            canvas[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+        else:
+            tiles_src[i, :h, :w] = img
+            tiles_reg[i] = (x1a, y1a, x2a, y2a)
+            tiles_pad[i] = (x1a - x1b, y1a - y1b)
         padw, padh = x1a - x1b, y1a - y1b
         if len(sample["cls"]):
             b = sample["bboxes"].copy()
@@ -131,6 +145,9 @@ def mosaic4(
     box_cat = np.concatenate(box_out) if box_out else np.zeros((0, 4), np.float32)
     box_cat = np.clip(box_cat, 0, 2 * s)
     out = {"img": canvas, "cls": cls_cat, "bboxes": box_cat, "mosaic_border": border}
+    if not compose_image:
+        out["img_shape"] = (s * 2, s * 2)
+        out["tiles"] = {"src": tiles_src, "regions": tiles_reg, "pads": tiles_pad}
     if has_seg:
         out["segments"] = seg_out
     if has_kpt:
@@ -156,17 +173,24 @@ def random_perspective(
     perspective: float = 0.0,
     border: Tuple[int, int] = (0, 0),
     rng=None,
+    warp_image: bool = True,
 ) -> Dict:
     """Single combined warp M = T @ S @ R @ P @ C with box transform and
-    candidate filtering (reference: augment.py:952-1258)."""
+    candidate filtering (reference: augment.py:952-1258).
+
+    warp_image=False (device-augment mode): the cv2 image warp is skipped —
+    M is recorded on the sample as ``warp_M`` for the on-device sampler
+    (ops/device_augment.py); label math and rng draws are unchanged.
+    """
     rng = rng or np.random.default_rng()
     img = sample["img"]
-    h = img.shape[0] + border[0] * 2
-    w = img.shape[1] + border[1] * 2
+    in_h, in_w = img.shape[:2] if img is not None else sample["img_shape"]
+    h = in_h + border[0] * 2
+    w = in_w + border[1] * 2
 
     C = np.eye(3)
-    C[0, 2] = -img.shape[1] / 2
-    C[1, 2] = -img.shape[0] / 2
+    C[0, 2] = -in_w / 2
+    C[1, 2] = -in_h / 2
 
     P = np.eye(3)
     P[2, 0] = rng.uniform(-perspective, perspective)
@@ -186,7 +210,7 @@ def random_perspective(
     T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * h
 
     M = T @ S @ R @ P @ C
-    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+    if warp_image and ((border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any()):
         if perspective:
             img = cv2.warpPerspective(img, M, dsize=(w, h), borderValue=(114, 114, 114))
         else:
@@ -231,6 +255,11 @@ def random_perspective(
         if keypoints is not None and len(keypoints):
             keypoints = keypoints[keep]
     out = {"img": img, "cls": cls, "bboxes": boxes}
+    if not warp_image:
+        out["warp_M"] = M
+        out["img_shape"] = (h, w)
+        if "tiles" in sample:
+            out["tiles"] = sample["tiles"]
     if segments is not None:
         out["segments"] = segments if len(boxes) else []
     if keypoints is not None:
@@ -238,16 +267,32 @@ def random_perspective(
     return out
 
 
-def random_flip(sample: Dict, fliplr: float = 0.5, flipud: float = 0.0, rng=None, flip_idx=None) -> Dict:
+def draw_hsv_gains(hgain: float, sgain: float, vgain: float, rng) -> np.ndarray:
+    """Draw the HSV LUT gains exactly as augment_hsv does (same rng order);
+    used by the device-augment path where the image work runs on TPU."""
+    if hgain or sgain or vgain:
+        return (rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1).astype(np.float32)
+    return np.ones(3, np.float32)
+
+
+def random_flip(sample: Dict, fliplr: float = 0.5, flipud: float = 0.0, rng=None, flip_idx=None,
+                flip_image: bool = True) -> Dict:
     """Horizontal/vertical flips with box/polygon/keypoint updates
-    (reference: augment.py:1383; flip_idx swaps left/right keypoints)."""
+    (reference: augment.py:1383; flip_idx swaps left/right keypoints).
+
+    flip_image=False (device-augment mode): image flips are folded into the
+    on-device warp matrix instead; the applied flips are recorded on the
+    sample as ``flips`` = (flipud_applied, fliplr_applied)."""
     rng = rng or np.random.default_rng()
     img, boxes = sample["img"], sample["bboxes"]
     segments = sample.get("segments")
     keypoints = sample.get("keypoints")
-    h, w = img.shape[:2]
+    h, w = img.shape[:2] if img is not None else sample["img_shape"]
+    did_ud = did_lr = False
     if flipud and rng.random() < flipud:
-        img = np.flipud(img)
+        did_ud = True
+        if flip_image:
+            img = np.flipud(img)
         if len(boxes):
             boxes = boxes.copy()
             boxes[:, [1, 3]] = h - boxes[:, [3, 1]]
@@ -257,7 +302,9 @@ def random_flip(sample: Dict, fliplr: float = 0.5, flipud: float = 0.0, rng=None
                 keypoints = keypoints.copy()
                 keypoints[..., 1] = h - keypoints[..., 1]
     if fliplr and rng.random() < fliplr:
-        img = np.fliplr(img)
+        did_lr = True
+        if flip_image:
+            img = np.fliplr(img)
         if len(boxes):
             boxes = boxes.copy()
             boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
@@ -268,7 +315,12 @@ def random_flip(sample: Dict, fliplr: float = 0.5, flipud: float = 0.0, rng=None
                 keypoints[..., 0] = w - keypoints[..., 0]
                 if flip_idx is not None:
                     keypoints = keypoints[:, list(flip_idx)]
-    out = {"img": np.ascontiguousarray(img), "cls": sample["cls"], "bboxes": boxes}
+    out = {"img": np.ascontiguousarray(img) if img is not None else None, "cls": sample["cls"], "bboxes": boxes}
+    if not flip_image:
+        out["flips"] = (did_ud, did_lr)
+        for k in ("warp_M", "img_shape", "tiles"):
+            if k in sample:
+                out[k] = sample[k]
     if segments is not None:
         out["segments"] = segments
     if keypoints is not None:
@@ -355,9 +407,12 @@ def format_sample(
                4-point polygons (reference ops.py xyxyxyxy2xywhr)
     """
     img = sample["img"]
-    h, w = img.shape[:2]
-    if bgr2rgb:
-        img = img[..., ::-1]
+    if img is None:  # device-augment mode: image assembled on TPU
+        h, w = sample["img_shape"]
+    else:
+        h, w = img.shape[:2]
+        if bgr2rgb:
+            img = img[..., ::-1]
     boxes = sample["bboxes"]
     cls = sample["cls"]
     n = min(len(boxes), max_gt)
@@ -384,7 +439,9 @@ def format_sample(
             cls_pad[k] = cls[i]
             good_rows.append(i)
         mask[: len(good_rows)] = True
-        out = {"img": np.ascontiguousarray(img), "cls": cls_pad, "bboxes": box_pad, "mask_gt": mask}
+        out = {"cls": cls_pad, "bboxes": box_pad, "mask_gt": mask}
+        if img is not None:
+            out["img"] = np.ascontiguousarray(img)
         return out
 
     box_pad = np.zeros((max_gt, 4), np.float32)
@@ -401,7 +458,9 @@ def format_sample(
         box_pad[:k] = xywh[good]
         cls_pad[:k] = cls[:n][good]
         mask[:k] = True
-    out = {"img": np.ascontiguousarray(img), "cls": cls_pad, "bboxes": box_pad, "mask_gt": mask}
+    out = {"cls": cls_pad, "bboxes": box_pad, "mask_gt": mask}
+    if img is not None:
+        out["img"] = np.ascontiguousarray(img)
 
     if task == "segment":
         mh, mw = imgsz // mask_ratio, imgsz // mask_ratio
@@ -491,7 +550,7 @@ class TrainTransform:
     then Format."""
 
     def __init__(self, dataset, imgsz: int, hyp, max_gt: int = 128, task: str = "detect",
-                 kpt_shape=(17, 3), flip_idx=None, mask_ratio: int = 4):
+                 kpt_shape=(17, 3), flip_idx=None, mask_ratio: int = 4, device_mode: bool = False):
         self.dataset = dataset
         self.imgsz = imgsz
         self.hyp = hyp
@@ -502,6 +561,24 @@ class TrainTransform:
         self.mask_ratio = mask_ratio
         self.mosaic_enabled = True
         self.albumentations = Albumentations(p=1.0)
+        # device_mode: the image half of the pipeline (mosaic composite, warp,
+        # HSV, flips) runs on the TPU inside the train step
+        # (ops/device_augment.py); the host keeps decode/resize + label math.
+        # Only valid when the host-only image stages are inert.
+        if device_mode:
+            blockers = []
+            if getattr(hyp, "mixup", 0):
+                blockers.append("mixup>0")
+            if getattr(hyp, "copy_paste", 0) and task in {"segment", "obb"}:
+                blockers.append("copy_paste>0")
+            if self.albumentations.transform is not None:
+                blockers.append("albumentations active")
+            if blockers:
+                from spectrogram_yolov11_tpu.utils import LOGGER
+
+                LOGGER.warning(f"device_augment: falling back to host augmentation ({', '.join(blockers)})")
+                device_mode = False
+        self.device_mode = device_mode
 
     def close_mosaic(self):
         self.mosaic_enabled = False
@@ -512,6 +589,8 @@ class TrainTransform:
         return mosaic4(samples, self.imgsz, rng)
 
     def __call__(self, idx: int, rng) -> Dict[str, np.ndarray]:
+        if self.device_mode:
+            return self._call_device(idx, rng)
         h = self.hyp
         use_mosaic = self.mosaic_enabled and rng.random() < h.mosaic
         if use_mosaic:
@@ -544,6 +623,60 @@ class TrainTransform:
         sample = random_flip(sample, fliplr=h.fliplr, flipud=h.flipud, rng=rng, flip_idx=self.flip_idx)
         return format_sample(sample, self.imgsz, self.max_gt, task=self.task,
                              mask_ratio=self.mask_ratio, kpt_shape=self.kpt_shape)
+
+    def _call_device(self, idx: int, rng) -> Dict[str, np.ndarray]:
+        """Device-augment variant: identical label math + rng draw order as
+        __call__, but the image stages become parameters for
+        ops/device_augment.augment_batch (run on TPU inside the train step)."""
+        h = self.hyp
+        s = self.imgsz
+        use_mosaic = self.mosaic_enabled and rng.random() < h.mosaic
+        if use_mosaic:
+            idxs = [idx] + list(rng.integers(0, len(self.dataset), 3))
+            samples = [self.dataset.load_sample(i, square_to=s) for i in idxs]
+            sample = mosaic4(samples, s, rng, compose_image=False)
+            border = sample.pop("mosaic_border")
+        else:
+            raw = self.dataset.load_sample(idx, square_to=s)
+            img, _, (dw, dh) = letterbox(raw["img"], (s, s), scaleup=True)
+            sample = dict(_pad_labels(raw, dw, dh))
+            src = np.zeros((4, s, s, 3), np.uint8)
+            src[0] = img
+            regions = np.zeros((4, 4), np.int32)
+            regions[0] = (0, 0, s, s)
+            sample["img"] = None
+            sample["img_shape"] = (s, s)
+            sample["tiles"] = {"src": src, "regions": regions, "pads": np.zeros((4, 2), np.int32)}
+            border = (0, 0)
+        sample = random_perspective(
+            sample, degrees=h.degrees, translate=h.translate, scale=h.scale,
+            shear=h.shear, perspective=h.perspective, border=border, rng=rng, warp_image=False,
+        )
+        hsv_r = draw_hsv_gains(h.hsv_h, h.hsv_s, h.hsv_v, rng)
+        sample = random_flip(sample, fliplr=h.fliplr, flipud=h.flipud, rng=rng,
+                             flip_idx=self.flip_idx, flip_image=False)
+        out = format_sample(sample, s, self.max_gt, task=self.task,
+                            mask_ratio=self.mask_ratio, kpt_shape=self.kpt_shape)
+        # output-index -> canvas-coord matrix: M^-1 composed with the flip
+        # index reflections (flips act on the warped image, so they apply
+        # FIRST on the inverse path)
+        A = np.linalg.inv(sample["warp_M"])
+        did_ud, did_lr = sample["flips"]
+        if did_lr:
+            F = np.eye(3)
+            F[0, 0], F[0, 2] = -1.0, s - 1
+            A = A @ F
+        if did_ud:
+            F = np.eye(3)
+            F[1, 1], F[1, 2] = -1.0, s - 1
+            A = A @ F
+        tiles = sample["tiles"]
+        out["aug_src"] = tiles["src"]
+        out["aug_regions"] = tiles["regions"]
+        out["aug_pads"] = tiles["pads"]
+        out["aug_inv"] = A.astype(np.float32)
+        out["aug_hsv"] = hsv_r
+        return out
 
 
 class ValTransform:

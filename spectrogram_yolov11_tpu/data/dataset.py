@@ -118,6 +118,7 @@ class YOLODataset:
         kpt_shape=(17, 3),
         flip_idx=None,
         mask_ratio: int = 4,
+        device_augment: bool = False,
     ):
         self.img_path = Path(img_path)
         self.imgsz = imgsz
@@ -144,7 +145,8 @@ class YOLODataset:
 
         if augment:
             self.transform = TrainTransform(self, imgsz, hyp, max_gt=max_gt, task=task,
-                                            kpt_shape=self.kpt_shape, flip_idx=flip_idx, mask_ratio=mask_ratio)
+                                            kpt_shape=self.kpt_shape, flip_idx=flip_idx, mask_ratio=mask_ratio,
+                                            device_mode=device_augment)
         else:
             self.transform = ValTransform(imgsz, max_gt=max_gt, task=task,
                                           kpt_shape=self.kpt_shape, mask_ratio=mask_ratio)

@@ -70,6 +70,29 @@ def _intersect_variables(new: dict, old: dict) -> dict:
     return jax.tree_util.tree_map_with_path(graft, new)
 
 
+def batch_images(batch, separable: bool = False) -> jnp.ndarray:
+    """Normalized (B, S, S, 3) f32 images for the jitted step.
+
+    Host-augmented batches carry uint8 "img"; device-augment batches
+    (cfg device_augment=True) carry mosaic tiles + warp params instead and
+    the image is assembled ON the TPU here — the augmentation fuses into
+    the training program (ops/device_augment.py). `separable` is the static
+    warp-structure flag (True when degrees = shear = perspective = 0,
+    see BaseTrainer._aug_separable) selecting the TPU-fast sampler."""
+    if "img" in batch:
+        return batch["img"].astype(jnp.float32) / 255.0
+    from spectrogram_yolov11_tpu.ops.device_augment import augment_batch
+
+    img = augment_batch(batch["aug_src"], batch["aug_regions"], batch["aug_pads"],
+                        batch["aug_inv"], batch["aug_hsv"], separable=separable)
+    return img / 255.0
+
+
+def batch_imgsz(batch) -> int:
+    """Static square image size of a train batch (either augmentation mode)."""
+    return batch["img"].shape[1] if "img" in batch else batch["aug_src"].shape[2]
+
+
 def _resize_uint8_batch(imgs: np.ndarray, size: int) -> np.ndarray:
     """Host-side bilinear resize of a (B, S, S, 3) uint8 batch to (B, size, size, 3).
 
@@ -109,10 +132,22 @@ class BaseTrainer:
 
     task = "detect"
     # batch keys shipped to the device program (subclasses may extend)
-    train_batch_keys = frozenset({"img", "cls", "bboxes", "mask_gt", "masks", "keypoints"})
+    train_batch_keys = frozenset({
+        "img", "cls", "bboxes", "mask_gt", "masks", "keypoints",
+        # device-augment mode (ops/device_augment.py): mosaic tiles + warp
+        # params replace "img"; the image is assembled on-TPU inside the step
+        "aug_src", "aug_regions", "aug_pads", "aug_inv", "aug_hsv",
+    })
 
     def __init__(self, cfg=DEFAULT_CFG, overrides: Optional[dict] = None, model=None, variables=None):
         self.args = get_cfg(cfg, overrides or {})
+        # static warp structure for device_augment (ops/device_augment.py):
+        # axis-aligned (separable, TPU-fast) iff degrees/shear/perspective are 0
+        self._aug_separable = not (
+            float(getattr(self.args, "degrees", 0) or 0)
+            or float(getattr(self.args, "shear", 0) or 0)
+            or float(getattr(self.args, "perspective", 0) or 0)
+        )
         self.callbacks = default_callbacks()
         init_seeds(self.args.seed)
         self.save_dir = get_save_dir(self.args)
@@ -183,6 +218,7 @@ class BaseTrainer:
             self.data[split],
             imgsz=self.imgsz,
             augment=augment,
+            device_augment=bool(getattr(self.args, "device_augment", False)) and augment and split == "train",
             hyp=self.args,
             nc=self.data["nc"],
             max_gt=0,  # auto-sized from the dataset's labels (dataset.py)
@@ -201,7 +237,7 @@ class BaseTrainer:
         kw = dict(
             # imgsz from the (static) batch shape, not self.imgsz: multi-scale
             # batches arrive at ladder sizes and each size is its own program
-            nc=self.data["nc"], imgsz=batch["img"].shape[1],
+            nc=self.data["nc"], imgsz=batch_imgsz(batch),
             strides=tuple(float(s) for s in self.model.stride),
             hyp_box=float(self.args.box), hyp_cls=float(self.args.cls), hyp_dfl=float(self.args.dfl),
         )
@@ -218,7 +254,7 @@ class BaseTrainer:
     # -- task hook: training forward (overridable, e.g. RT-DETR dn queries) --
     def forward_train(self, params, batch_stats, batch, ni):
         """Forward in train mode; returns (head_output, new_batch_stats)."""
-        x = batch["img"].astype(jnp.float32) / 255.0
+        x = batch_images(batch, self._aug_separable)
         out, mut = self.model.graph.apply(
             {"params": params, "batch_stats": batch_stats}, x, train=True, mutable=["batch_stats"]
         )
@@ -350,7 +386,10 @@ class BaseTrainer:
             jax.profiler.start_trace(trace_dir)
         run_callbacks(self.callbacks, "on_train_start", self)
         ms_sizes, ms_rng = None, None
-        if self.args.multi_scale and self.task == "detect":
+        if self.args.multi_scale and getattr(train_ds, "augment", False) and \
+                getattr(getattr(train_ds, "transform", None), "device_mode", False):
+            LOGGER.warning("multi_scale is not supported with device_augment; ignoring multi_scale")
+        elif self.args.multi_scale and self.task == "detect":
             ms_sizes = sorted({max(32, int(round(self.imgsz * f / 32)) * 32) for f in (0.5, 0.75, 1.0, 1.25, 1.5)})
             ms_rng = np.random.default_rng(self.args.seed + 1234)
             LOGGER.info(f"Multi-scale training over {ms_sizes} (one XLA program per size)")
@@ -509,6 +548,13 @@ class BaseTrainer:
         try:
             from spectrogram_yolov11_tpu.utils.plotting import plot_images
 
+            if "img" not in batch:  # device-augment: materialize the images once for the plot
+                from spectrogram_yolov11_tpu.ops.device_augment import augment_batch
+
+                img = np.asarray(augment_batch(batch["aug_src"], batch["aug_regions"], batch["aug_pads"],
+                                               batch["aug_inv"], batch["aug_hsv"],
+                                               separable=self._aug_separable)).astype(np.uint8)
+                batch = {**batch, "img": img}
             plot_images(batch, self.model.names, self.save_dir / f"train_batch{ni}.jpg")
         except Exception as e:
             LOGGER.warning(f"train batch plot failed: {e}")
@@ -634,7 +680,7 @@ class WorldTrainer(BaseTrainer):
             self.model.set_classes([self.data["names"][i] for i in sorted(self.data["names"])])
 
     def forward_train(self, params, batch_stats, batch, ni):
-        x = batch["img"].astype(jnp.float32) / 255.0
+        x = batch_images(batch, self._aug_separable)
         out, mut = self.model.graph.apply(
             {"params": params, "batch_stats": batch_stats}, x, train=True,
             txt_feats=self.model._txt(x.shape[0]), mutable=["batch_stats"],
@@ -689,7 +735,7 @@ class GroundingTrainer(WorldTrainer):
         )
 
     def forward_train(self, params, batch_stats, batch, ni):
-        x = batch["img"].astype(jnp.float32) / 255.0
+        x = batch_images(batch, self._aug_separable)
         out, mut = self.model.graph.apply(
             {"params": params, "batch_stats": batch_stats}, x, train=True,
             txt_feats=batch["txt_feats"], mutable=["batch_stats"],

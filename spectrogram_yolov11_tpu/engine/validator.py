@@ -250,10 +250,33 @@ class DetectionValidator:
         if self._device_fn is None:
             self._device_fn = self._build_device_fn()
         self.init_metrics()
+        # data-parallel val: shard each batch over the device mesh and let the
+        # jitted forward+NMS run SPMD (the reference vals on one rank only,
+        # trainer.py:287-297 — on TPU the same program scales across chips).
+        # Free on one device; tested 1-dev == 8-dev in tests/test_parallel.py.
+        mesh = None
+        if len(jax.devices()) > 1:
+            from spectrogram_yolov11_tpu.parallel.mesh import batch_sharded, get_mesh, replicated
+
+            mesh = get_mesh(batch_size=int(self.dataloader.batch_size))
+            if len(mesh.devices.flat) > 1:
+                sh, rep = batch_sharded(mesh), replicated(mesh)
+                self.variables = jax.device_put(self.variables, rep)
+            else:
+                mesh = None
         n_img, t_infer = 0, 0.0
         for batch in TQDM(self.dataloader, desc="val"):
             t0 = time.perf_counter()
-            out = self._device_fn(self.variables, *self._device_inputs(batch))
+            inputs = self._device_inputs(batch)
+            if mesh is not None:
+                b = batch["img"].shape[0]
+                # per-sample tensors (images, per-image embeddings) shard on
+                # axis 0; small tables (e.g. (K, D) class-text features) replicate
+                inputs = tuple(
+                    jax.device_put(x, sh if getattr(x, "ndim", 0) >= 3 and x.shape[0] == b else rep)
+                    for x in inputs
+                )
+            out = self._device_fn(self.variables, *inputs)
             out = jax.block_until_ready(out)
             out = tuple(np.asarray(o) for o in out) if isinstance(out, (tuple, list)) else np.asarray(out)
             t_infer += time.perf_counter() - t0

@@ -92,3 +92,28 @@ def test_stft_device_matches_numpy():
     ref = spectrogram_numpy(iq, n_fft=256, hop=128)
     # device output repeats to 3 channels; compare channel 0
     np.testing.assert_allclose(dev[..., 0], ref, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_sharded_val_matches_single_device(tmp_path):
+    """Validation shards each batch over the mesh (validator.py __call__);
+    metrics must be identical to the unsharded batch=1 path."""
+    from spectrogram_yolov11_tpu.data import check_det_dataset
+    from spectrogram_yolov11_tpu.engine.validator import DetectionValidator
+
+    data = check_det_dataset("shapes128.yaml")
+    model = build_model("yolo11n.yaml", nc=data["nc"], verbose=False)
+    variables = model.init(jax.random.PRNGKey(0), imgsz=96)
+
+    def run(batch):
+        v = DetectionValidator(model, variables, overrides={
+            "data": "shapes128.yaml", "imgsz": 96, "batch": batch,
+            "workers": 0, "plots": False,
+        })
+        return v()
+
+    m8 = run(8)   # mesh size 8 -> sharded device program
+    m1 = run(1)   # mesh restricted to 1 device -> unsharded
+    assert set(m1) == set(m8)
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m8[k], rtol=1e-4, atol=1e-6, err_msg=k)

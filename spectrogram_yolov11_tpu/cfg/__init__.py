@@ -125,6 +125,14 @@ def get_cfg(cfg: str | Path | dict | SimpleNamespace = DEFAULT_CFG, overrides: d
             cfg[k] = str(cfg[k])
     if cfg.get("name") == "model":
         cfg["name"] = str(cfg.get("model", "")).split(".")[0]
+    if cfg.get("rect"):
+        # reference rect mode batches by aspect bucket (data/base.py:261) —
+        # dynamic shapes recompile per bucket under XLA, so this build always
+        # square-letterboxes to one static shape (docs/migrating.md)
+        from spectrogram_yolov11_tpu.utils import LOGGER
+
+        LOGGER.warning("rect=True is not supported on TPU (dynamic shapes); using square letterbox")
+        cfg["rect"] = False
     check_cfg(cfg)
     return IterableSimpleNamespace(**cfg)
 

@@ -51,3 +51,12 @@ def test_cli_solutions_verb(caplog):
     from spectrogram_yolov11_tpu.solutions import ObjectCounter
 
     assert isinstance(app, ObjectCounter)
+
+
+def test_rect_rejected_with_warning():
+    """rect=True (aspect-bucketed batches) is a documented TPU deviation:
+    it must not silently alter shapes — get_cfg resets it and warns."""
+    from spectrogram_yolov11_tpu.cfg import get_cfg
+
+    c = get_cfg(overrides={"rect": True})
+    assert c.rect is False

@@ -21,17 +21,21 @@ from spectrogram_yolov11_tpu.utils import SimpleClass
 
 
 class Boxes(SimpleClass):
-    """(n, 6) [x1, y1, x2, y2, conf, cls] in original-image pixels."""
+    """(n, 6) [x1, y1, x2, y2, conf, cls] in original-image pixels.
 
-    def __init__(self, data: np.ndarray, orig_shape):
+    `id` carries per-box track ids after `model.track()` (None otherwise) —
+    same surface as the reference's Boxes.id (engine/results.py:1015)."""
+
+    def __init__(self, data: np.ndarray, orig_shape, ids: np.ndarray | None = None):
         self.data = np.asarray(data, np.float32).reshape(-1, 6)
         self.orig_shape = orig_shape
+        self.id = None if ids is None else np.asarray(ids)
 
     def __len__(self):
         return len(self.data)
 
     def __getitem__(self, i):
-        return Boxes(self.data[i], self.orig_shape)
+        return Boxes(self.data[i], self.orig_shape, None if self.id is None else np.atleast_1d(self.id[i]))
 
     @property
     def xyxy(self):

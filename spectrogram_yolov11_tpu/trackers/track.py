@@ -51,8 +51,8 @@ def _apply_tracker(tr, r):
     from spectrogram_yolov11_tpu.engine.results import Boxes
 
     new = np.concatenate([tracks[:, :4], tracks[:, 5:6], tracks[:, 6:7]], axis=1)
-    r.boxes = Boxes(new, r.orig_shape)
     r.track_ids = tracks[:, 4].astype(int)
+    r.boxes = Boxes(new, r.orig_shape, ids=r.track_ids)  # reference boxes.id surface
     return r
 
 

@@ -203,3 +203,49 @@ def test_train_smoke_device_augment(tmp_path):
     t.train()
     assert np.isfinite(list(t.label_loss.values())).all()
     assert np.isfinite(list(t.metrics.values())).all()
+
+
+class _FakeDSTask(_FakeDS):
+    """Adds polygon segments or keypoints per box for segment/pose parity."""
+
+    def __init__(self, kind, n=8):
+        super().__init__(n)
+        self.kind = kind
+
+    def load_sample(self, i, square_to=None):
+        s = super().load_sample(i, square_to)
+        b = s["bboxes"]
+        if self.kind == "segment":
+            # one 4-point polygon per box (slightly inset)
+            polys = []
+            for x1, y1, x2, y2 in b:
+                dx, dy = (x2 - x1) * 0.1, (y2 - y1) * 0.1
+                polys.append(np.asarray([[x1 + dx, y1 + dy], [x2 - dx, y1 + dy],
+                                         [x2 - dx, y2 - dy], [x1 + dx, y2 - dy]], np.float32))
+            s["segments"] = polys
+        else:  # pose: 3 visible keypoints per box
+            n = len(b)
+            kx = np.stack([b[:, 0], (b[:, 0] + b[:, 2]) / 2, b[:, 2]], 1)
+            ky = np.stack([b[:, 1], (b[:, 1] + b[:, 3]) / 2, b[:, 3]], 1)
+            s["keypoints"] = np.stack([kx, ky, np.ones_like(kx) * 2.0], -1).astype(np.float32)
+        return s
+
+
+@pytest.mark.parametrize("kind", ["segment", "pose"])
+def test_device_mode_segment_pose_labels(kind):
+    """device_augment label parity extends beyond detect: masks / keypoints
+    are host label math and must be bit-identical in both modes."""
+    hyp = _hyp()
+    kw = dict(task=kind, mask_ratio=4) if kind == "segment" else \
+         dict(task=kind, kpt_shape=(3, 3), flip_idx=[0, 1, 2])
+    ds = _FakeDSTask(kind)
+    t_host = TrainTransform(ds, S, hyp, max_gt=32, **kw)
+    t_dev = TrainTransform(ds, S, hyp, max_gt=32, device_mode=True, **kw)
+    assert t_dev.device_mode
+    keys = ("cls", "bboxes", "mask_gt") + (("masks",) if kind == "segment" else ("keypoints",))
+    for seed in range(6):
+        oh = t_host(seed % len(ds), np.random.default_rng(seed))
+        od = t_dev(seed % len(ds), np.random.default_rng(seed))
+        for k in keys:
+            assert np.array_equal(oh[k], od[k]), f"{k} mismatch at seed {seed}"
+        assert "img" not in od and od["aug_src"].shape == (4, S, S, 3)

@@ -75,6 +75,10 @@ class BasePredictor:
         if args.conf is None:
             args.conf = 0.25
         self.args = args
+        if args.half and hasattr(model, "set_dtype"):
+            # bf16 serving — the TPU-native fast path (2x the f32 plateau,
+            # bench.py); reference half=True maps to fp16 (predictor.py:118)
+            model.set_dtype(jnp.bfloat16)
         self.imgsz = int(args.imgsz if isinstance(args.imgsz, int) else args.imgsz[0])
         self.batch_size = 1
         self.names = getattr(model, "names", {})
@@ -389,6 +393,10 @@ class EnsemblePredictor(BasePredictor):
         models = [m for m, _ in members]
         assert len({m.nc for m in models}) == 1, "ensemble members must share nc"
         super().__init__(models[0], tuple(v for _, v in members), overrides)
+        if self.args.half:
+            for m in models[1:]:  # member 0 handled by BasePredictor
+                if hasattr(m, "set_dtype"):
+                    m.set_dtype(jnp.bfloat16)
         self._members = models
 
     def _build_device_fn(self):

@@ -73,6 +73,10 @@ class DetectionValidator:
         args = get_cfg(DEFAULT_CFG, overrides or {})
         args.conf = 0.001 if args.conf is None else args.conf
         self.args = args
+        if args.half and hasattr(model, "set_dtype"):
+            import jax.numpy as jnp
+
+            model.set_dtype(jnp.bfloat16)  # bf16 eval (reference half=True)
         self.imgsz = int(args.imgsz if isinstance(args.imgsz, int) else args.imgsz[0])
         self.dataloader = dataloader
         self.iouv = np.linspace(0.5, 0.95, 10)

@@ -118,3 +118,29 @@ def test_save_video_and_frames(tmp_path):
     assert len(res) == 4
     assert (tmp_path / "vid" / "clip.mp4").exists()
     assert len(list((tmp_path / "vid" / "clip_frames").glob("*.jpg"))) == 4
+
+
+def test_half_predict_bf16():
+    """half=True switches the predictor's device program to bf16 compute
+    (reference half=fp16, predictor.py:118); results stay close to f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogram_yolov11_tpu.engine.predictor import BasePredictor
+    from spectrogram_yolov11_tpu.nn.tasks import build_model
+
+    m = build_model("yolo11n.yaml", verbose=False)
+    v = m.init(jax.random.PRNGKey(0), imgsz=96)
+    img = np.random.default_rng(2).integers(0, 255, (80, 96, 3), np.uint8)
+
+    r32 = BasePredictor(m, v, overrides=dict(imgsz=96, conf=0.001))([img])
+    assert m.dtype in (None, jnp.float32)
+    r16 = BasePredictor(m, v, overrides=dict(imgsz=96, conf=0.001, half=True))([img])
+    assert m.dtype == jnp.bfloat16
+    assert np.isfinite(r16[0].boxes.data).all()
+    # same anchors survive at this loose conf; geometry within bf16 tolerance
+    a, b = r32[0].boxes.data, r16[0].boxes.data
+    n = min(len(a), len(b))
+    if n:
+        np.testing.assert_allclose(a[:n, :4], b[:n, :4], atol=4.0)
+    m.set_dtype(jnp.float32)  # restore for any shared fixtures

@@ -31,12 +31,14 @@ Two device implementations share that math:
 
 - **separable fast path** (``separable=True``): when degrees = shear =
   perspective = 0 — the reference's own default hyps — A is axis-aligned, so
-  the canvas x-coordinate depends only on the output column and y only on the
-  row. Every bilinear tap then resolves through 1-D *axis* gathers
-  (``jnp.take`` of whole rows/columns — contiguous DMA the TPU likes) and the
-  tile membership test factors into an outer product of two 1-D masks.
-  Measured +0.84 ms/img inside the bs128@640 train step on a v5e (full step
-  1.81 vs 0.97 ms/img host-fed) — gather-bound, not FLOP-bound.
+  the resample factors into two 1-D interpolation operators. Those operators
+  ARE sparse matrices, and applying them densely on the MXU beats gathering:
+  out = sum_t W_y,t @ src_t @ W_x,t^T + 114*(1 - coverage), measured 0.533
+  ms/img standalone at bs128 @640 with Dekker-split (f32-exact) bf16
+  operands, vs 0.922 for the earlier 1-D-gather where-chain (kept as
+  `_augment_one_separable_gather` for the exactness oracle). A raw-bf16
+  variant measured 0.299 but its tap-weight rounding failed the cv2 parity
+  gate once HSV amplified it; see `_augment_one_separable`.
 - **general path** (``separable=False``): arbitrary affine/perspective warps
   via per-pixel flat gathers. Correct for any M, but 2-D gathers over a
   1.6M-row table are hostile to the TPU's DMA engines: measured ~300 ms/img.
@@ -156,13 +158,90 @@ def _augment_one(src: jnp.ndarray, regions: jnp.ndarray, pads: jnp.ndarray,
     return out_bgr[..., ::-1]  # BGR -> RGB (Format step, reference augment.py:1926)
 
 
+def _axis_weights(inv_a: jnp.ndarray, inv_b: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
+                  pad: jnp.ndarray, s: int) -> jnp.ndarray:
+    """1-D bilinear interpolation matrix for one axis of one tile.
+
+    Canvas coordinate of output index o is u(o) = inv_a*o + inv_b; its two
+    taps sit at floor(u), floor(u)+1 with weights (1-f, f). A tap contributes
+    iff its canvas coord lies in the tile's [lo, hi) range; the source index
+    is tap - pad (always in-range then — the host clips tile rects to their
+    source extents). Returns (s_out, s_src) f32 with <= 2 nonzeros per row.
+    """
+    o = jnp.arange(s, dtype=jnp.float32)
+    u = inv_a * o + inv_b
+    x0 = jnp.floor(u)
+    f = u - x0
+    x0i = x0.astype(jnp.int32)
+    src_idx = jnp.arange(s, dtype=jnp.int32)
+    W = jnp.zeros((s, s), jnp.float32)
+    for j, w in ((0, 1.0 - f), (1, f)):
+        xi = x0i + j
+        ok = (xi >= lo) & (xi < hi)
+        sx = xi - pad
+        W = W + jnp.where(ok[:, None], (sx[:, None] == src_idx[None, :]) * w[:, None], 0.0)
+    return W
+
+
 def _augment_one_separable(src: jnp.ndarray, regions: jnp.ndarray, pads: jnp.ndarray,
                            inv: jnp.ndarray, hsv_r: jnp.ndarray) -> jnp.ndarray:
-    """Axis-aligned warp (inv[0,1] = inv[1,0] = 0, affine): the canvas
-    x-coordinate of an output pixel depends only on its column and y only on
-    its row, so each bilinear tap is two 1-D axis gathers (contiguous DMA)
-    instead of a flat 2-D gather, and tile membership is an outer product of
-    1-D masks. Numerically identical to _augment_one on separable inputs."""
+    """Axis-aligned warp (inv[0,1] = inv[1,0] = 0, affine) as MXU matmuls.
+
+    The separable bilinear resample IS a pair of sparse matrices: out =
+    sum_t W_y,t @ src_t @ W_x,t^T + 114*(1 - sum_t rowsum(W_y,t) (x)
+    rowsum(W_x,t)), where W_*,t are (s_out, s_src) 2-tap interpolation
+    matrices with the tile's canvas-rect membership folded in (zero rows
+    where a tap misses the tile; the uncovered remainder is the 114 fill,
+    and rowsums give its per-pixel weight exactly). Applying them DENSELY
+    wastes ~s/2 of the FLOPs — and still wins by 1.7x, because MXU FLOPs
+    are nearly free while gathers are not: measured 0.533 ms/img vs 0.922
+    for the 1-D-gather where-chain this replaces (bs128 @640, scan-fenced
+    on a v5e; the gather variant is kept below for the exactness oracle).
+
+    Precision: the MXU wants bf16 operands, but raw-bf16 tap weights round
+    to ~2^-9 and the +-2 gray levels that introduces get amplified by the
+    HSV hue quantization into >1% of pixels off by >3 vs the host cv2
+    pipeline (measured; a raw-bf16 variant ran 0.299 ms/img but failed the
+    parity gate). So each operand is Dekker-split into hi + lo bf16 halves
+    (hi = bf16(x), lo = bf16(x - hi)): stage 1 sums two einsums against the
+    exact-in-bf16 u8 source, stage 2 sums three (dropping the tiny lo*lo
+    term), recovering exact bilinear to ~1e-2 gray levels (f32-accumulation
+    noise). >99.5% of pixels round identically to the gather oracle; the
+    rest sit within ~1e-2 of a .5 boundary and flip by +-1 (measured
+    0.15-0.45%/image; tests/test_device_augment.py bounds it).
+    """
+    s = src.shape[1]
+    Wx = jnp.stack([_axis_weights(inv[0, 0], inv[0, 2], regions[t, 0], regions[t, 2],
+                                  pads[t, 0], s) for t in range(4)])
+    Wy = jnp.stack([_axis_weights(inv[1, 1], inv[1, 2], regions[t, 1], regions[t, 3],
+                                  pads[t, 1], s) for t in range(4)])
+    st = src.astype(jnp.bfloat16)  # (4, s, s, 3); u8 values are exact in bf16
+    Wy_hi = Wy.astype(jnp.bfloat16)
+    Wy_lo = (Wy - Wy_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    Wx_hi = Wx.astype(jnp.bfloat16)
+    Wx_lo = (Wx - Wx_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    B = (jnp.einsum("tos,tsxc->toxc", Wy_hi, st, preferred_element_type=jnp.float32)
+         + jnp.einsum("tos,tsxc->toxc", Wy_lo, st, preferred_element_type=jnp.float32))
+    B_hi = B.astype(jnp.bfloat16)
+    B_lo = (B - B_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = (jnp.einsum("toxc,tpx->opc", B_hi, Wx_hi, preferred_element_type=jnp.float32)
+           + jnp.einsum("toxc,tpx->opc", B_hi, Wx_lo, preferred_element_type=jnp.float32)
+           + jnp.einsum("toxc,tpx->opc", B_lo, Wx_hi, preferred_element_type=jnp.float32))
+    cover = jnp.einsum("to,tp->op", Wy.sum(2), Wx.sum(2))
+    bil = out + 114.0 * (1.0 - cover)[..., None]
+    warped = jnp.round(jnp.clip(bil, 0.0, 255.0))
+    out_bgr = _hsv_jitter_u8(warped, hsv_r)
+    return out_bgr[..., ::-1]
+
+
+def _augment_one_separable_gather(src: jnp.ndarray, regions: jnp.ndarray, pads: jnp.ndarray,
+                                  inv: jnp.ndarray, hsv_r: jnp.ndarray) -> jnp.ndarray:
+    """Gather formulation of the separable warp (the pre-matmul production
+    path, kept as the exact-f32 oracle for tests): each bilinear tap is two
+    1-D *axis* gathers (``jnp.take`` of whole rows/columns) and the tile
+    membership test factors into an outer product of 1-D masks. Numerically
+    identical to _augment_one on separable inputs; measured 0.922 ms/img at
+    bs128 @640 vs 0.299 for the matmul path above."""
     s = src.shape[1]
     x = jnp.arange(s, dtype=jnp.float32)
     u = inv[0, 0] * x + inv[0, 2]  # canvas x per output column (s,)
@@ -214,8 +293,8 @@ def augment_batch(src: jnp.ndarray, regions: jnp.ndarray, pads: jnp.ndarray,
     hsv_r:   (B, 3) float32 HSV multiplicative gains
     separable: static flag — True only when every inv is axis-aligned
              (degrees = shear = perspective = 0, i.e. the default hyps);
-             selects the TPU-fast 1-D-gather implementation (+0.84 ms/img
-             in-step vs ~300 ms/img for the general flat-gather path at
+             selects the TPU-fast MXU-matmul implementation (0.533 ms/img
+             standalone vs ~300 ms/img for the general flat-gather path at
              640px bs128).
 
     Returns (B, s, s, 3) float32 RGB images in [0, 255], rounded to integer

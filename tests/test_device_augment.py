@@ -141,24 +141,55 @@ def test_separable_fast_path_parity():
 
 
 def test_separable_warp_only_tight():
+    # cv2's 5-bit fixed-point taps allow ~4 levels vs exact bilinear; the
+    # Dekker-split MXU path is f32-exact so no extra allowance is needed
     diffs = _run_pair(_sep_hyp(hsv_h=0.0, hsv_s=0.0, hsv_v=0.0), separable=True)
     for d in diffs:
         assert d.max() <= 4.0
         assert d.mean() < 0.5
 
 
-def test_separable_matches_general_exactly():
-    """On separable inputs the two device implementations are the same math —
-    results must be bit-identical (both round to integer values)."""
+def test_separable_gather_matches_general_exactly():
+    """On separable inputs the gather formulation and the general path are
+    the same math — bit-identical (both round to integer values)."""
+    import jax
+
+    from spectrogram_yolov11_tpu.ops.device_augment import _augment_one_separable_gather
+
     ds = _FakeDS()
     t_dev = TrainTransform(ds, S, _sep_hyp(), max_gt=32, device_mode=True)
     for seed in range(4):
         od = t_dev(seed % len(ds), np.random.default_rng(seed))
         args = (od["aug_src"][None], od["aug_regions"][None], od["aug_pads"][None],
                 od["aug_inv"][None], od["aug_hsv"][None])
-        a = np.asarray(augment_batch(*args, separable=True))
+        a = np.asarray(jax.vmap(_augment_one_separable_gather)(*args))
         b = np.asarray(augment_batch(*args, separable=False))
         assert np.array_equal(a, b)
+
+
+def test_separable_matmul_vs_gather_oracle():
+    """The production MXU-matmul separable path (Dekker-split bf16 operands,
+    exact bilinear to ~1e-2 levels) vs the exact-f32 gather oracle: >99% of
+    pixels round identically; the rest land within the f32-accumulation
+    noise of a .5 boundary and flip by +-1, which the (neutral) HSV
+    roundtrip's hue quantization can stretch to a few levels on isolated
+    pixels."""
+    import jax
+
+    from spectrogram_yolov11_tpu.ops.device_augment import _augment_one_separable_gather
+
+    ds = _FakeDS()
+    t_dev = TrainTransform(ds, S, _sep_hyp(hsv_h=0.0, hsv_s=0.0, hsv_v=0.0),
+                           max_gt=32, device_mode=True)
+    for seed in range(4):
+        od = t_dev(seed % len(ds), np.random.default_rng(seed))
+        args = (od["aug_src"][None], od["aug_regions"][None], od["aug_pads"][None],
+                od["aug_inv"][None], od["aug_hsv"][None])
+        a = np.asarray(augment_batch(*args, separable=True))
+        b = np.asarray(jax.vmap(_augment_one_separable_gather)(*args))
+        d = np.abs(a.astype(np.float64) - b.astype(np.float64))
+        assert (d > 0).mean() < 0.01
+        assert d.max() <= 8.0
 
 
 def test_separable_closed_mosaic():

@@ -181,6 +181,8 @@ CLI_HELP_MSG = """
         yolo detect train data=shapes128.yaml model=yolo11n.yaml epochs=3
         yolo predict model=runs/detect/train/weights/best.ckpt source=bus.jpg
         yolo val model=yolo11n.yaml data=shapes128.yaml
+        yolo serve model=runs/detect/train/weights/best.ckpt port=8000
+        yolo predict model=http://127.0.0.1:8000/best source=bus.jpg
 """
 
 
@@ -247,6 +249,19 @@ def entrypoint(debug: str = "") -> Any:
         elif a == "settings":
             LOGGER.info(str(DEFAULT_CFG))
             return None
+        elif a == "serve":
+            # `yolo serve model=best.ckpt [port=8000 host=0.0.0.0]` — KServe-v2
+            # inference server (serve.py); TPU-native counterpart of deploying
+            # behind Triton (reference utils/triton.py)
+            skv = parse_key_value_pairs([x for x in argv if "=" in x])
+            from spectrogram_yolov11_tpu.serve import serve as _serve
+
+            return _serve(
+                skv.get("model") or DEFAULT_CFG.model or "yolo11n.yaml",
+                host=str(skv.get("host", "127.0.0.1")),
+                port=int(skv.get("port", 8000)),
+                block=bool(skv.get("block", True)),
+            )
         elif a == "solutions":
             # `yolo solutions <Name> source=... [k=v...]` (reference cfg/__init__.py
             # handle_yolo_solutions): run a turnkey app over a source

@@ -24,6 +24,7 @@ class YOLO:
     def __init__(self, model: Union[str, Path, list, tuple] = "yolo11n.yaml", task: Optional[str] = None,
                  verbose: bool = False):
         self._ensemble = None
+        self.backend = None  # set for remote (served) models only
         if isinstance(model, (list, tuple)):  # weights ensemble (reference nn/tasks.py:718 Ensemble)
             members = [YOLO(m, task=task) for m in model]
             assert all(m.task == "detect" for m in members), "weight ensembling supports the detect task"
@@ -42,6 +43,9 @@ class YOLO:
         self.variables = None
         self.model = None
         self.overrides: Dict[str, Any] = {}
+        if self.model_path.startswith(("http://", "https://", "grpc://")):
+            self._load_remote(self.model_path)
+            return
         suffix = Path(self.model_path).suffix
         if suffix in {".yaml", ".yml"}:
             self._new(self.model_path, verbose=verbose)
@@ -97,16 +101,30 @@ class YOLO:
         self.variables = jax.device_put(load_state_into_variables(v, conv, strict=False))
         self.overrides["model"] = path
 
+    def _load_remote(self, url: str):
+        """Attach to a served model: `YOLO('http://host:8000/name')` predicts
+        and vals through the KServe-v2 protocol (reference engine/model.py:149
+        Triton-URL branch + utils/triton.py). Inference-only by nature."""
+        from spectrogram_yolov11_tpu.nn.autobackend import AutoBackend
+
+        self.backend = AutoBackend(url)
+        self.task = self.task or self.backend.task
+        self.overrides["task"] = self.task
+
     def _ensure_variables(self):
-        if self.variables is None:
+        if self.variables is None and self.backend is None:
             self.variables = self.model.init(jax.random.PRNGKey(0))
 
     @property
     def names(self) -> Dict[int, str]:
+        if self.model is None and self.backend is not None:
+            return self.backend.names
         return self.model.names
 
     @property
     def stride(self):
+        if self.model is None and self.backend is not None:
+            return self.backend.stride
         return self.model.stride
 
     # -- modes ------------------------------------------------------------
@@ -115,6 +133,8 @@ class YOLO:
 
         if self._ensemble is not None:
             raise ValueError("weight ensembles are inference-only; train the members individually")
+        if self.backend is not None:
+            raise ValueError("remote (served) models are inference-only; train locally and re-serve")
         overrides = {**self.overrides, **kwargs, "mode": "train"}
         overrides.setdefault("model", self.model_path)
         if self.task == "classify":
@@ -141,6 +161,12 @@ class YOLO:
         self._ensure_variables()
         overrides = {k: v for k, v in {**self.overrides, **kwargs}.items() if k not in {"model", "task", "mode"}}
         data = overrides.pop("data", None) or getattr(self, "ckpt_data", None)
+        if self.backend is not None:
+            # served model: score THROUGH the remote graph (same path as
+            # benchmark()'s artifact-true validation)
+            validator = V.BackendValidator(self.backend, overrides=overrides)
+            self.validator = validator
+            return validator(data=data)
         if self.task == "rtdetr":
             from spectrogram_yolov11_tpu.models.rtdetr import RTDETRValidator as cls
         else:
@@ -160,6 +186,12 @@ class YOLO:
         from spectrogram_yolov11_tpu.engine.predictor import (BasePredictor, ClassificationPredictor, OBBPredictor, PosePredictor, SegmentationPredictor)
 
         self._ensure_variables()
+        if self.backend is not None:
+            from spectrogram_yolov11_tpu.serve import RemotePredictor
+
+            overrides = {k: v for k, v in {**self.overrides, **kwargs}.items() if k not in {"model", "task", "mode"}}
+            self.predictor = RemotePredictor(self.backend, overrides=overrides)
+            return self.predictor(source, stream=stream, batch_size=kwargs.get("batch", 1))
         cls = {"classify": ClassificationPredictor, "segment": SegmentationPredictor, "pose": PosePredictor, "obb": OBBPredictor}.get(self.task, BasePredictor)
         if self.task == "rtdetr":
             from spectrogram_yolov11_tpu.models.rtdetr import RTDETRPredictor as cls  # noqa: F811
@@ -196,6 +228,8 @@ class YOLO:
     def export(self, **kwargs):
         from spectrogram_yolov11_tpu.engine.exporter import Exporter
 
+        if self.backend is not None:
+            raise ValueError("remote (served) models cannot be exported; export from the local checkpoint")
         self._ensure_variables()
         return Exporter(self.model, self.variables, overrides={**self.overrides, **kwargs})()
 

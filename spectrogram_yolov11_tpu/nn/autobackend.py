@@ -24,6 +24,8 @@ import numpy as np
 def _model_type(path: str) -> str:
     """Sniff the artifact kind from the path (reference: autobackend.py:777)."""
     s = str(path)
+    if s.startswith(("http://", "https://", "grpc://")):
+        return "remote"  # KServe-v2 server URL (reference: triton branch, autobackend.py:520)
     for kind in ("ckpt", "pt", "stablehlo", "tflite", "onnx"):
         if s.endswith("." + kind):
             return kind
@@ -88,6 +90,23 @@ class AutoBackend:
 
             self._fn = run
             self.task = "detect"
+        elif self.kind == "remote":
+            # KServe-v2 HTTP server (ours via `yolo serve`, or any compliant
+            # server incl. Triton) — reference autobackend.py triton branch.
+            from spectrogram_yolov11_tpu.serve import RemoteModel
+
+            self._remote = RemoteModel(self.weights)
+            md = self._remote.metadata or {}
+            self.task = str(md.get("task") or "detect")
+            self.names = {int(k): str(v) for k, v in (md.get("names") or {}).items()}
+            if md.get("stride"):
+                self.stride = np.asarray(md["stride"], np.float32)
+
+            def run(x):
+                outs = self._remote(np.asarray(x))
+                return outs[0] if len(outs) == 1 else tuple(outs)
+
+            self._fn = run
         elif self.kind == "onnx":
             import onnxruntime as ort
 

@@ -1,0 +1,121 @@
+"""KServe-v2 serving: server <-> client round-trips, YOLO(url) predict/val.
+
+TPU-native counterpart of the reference Triton integration tests
+(reference utils/triton.py TritonRemoteModel + nn/autobackend.py triton
+branch): the server is ours (serve.py InferenceServer) so the whole protocol
+path — JSON + binary tensor extension, metadata, batch bucketing — is
+exercised end-to-end in-process with no external deployment.
+"""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from spectrogram_yolov11_tpu.engine.model import YOLO
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    m = YOLO("yolo11n.yaml")
+    m._ensure_variables()
+    ckpt = tmp / "tiny.ckpt"
+    m.save(ckpt)
+    from spectrogram_yolov11_tpu.serve import InferenceServer
+
+    srv = InferenceServer({"tiny": str(ckpt)}, port=0).start()
+    yield srv, str(ckpt)
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_health_and_metadata(served):
+    srv, _ = served
+    base = f"http://127.0.0.1:{srv.port}"
+    assert _get(f"{base}/v2/health/ready") == {}
+    assert "binary_tensor_data" in _get(f"{base}/v2")["extensions"]
+    md = _get(f"{base}/v2/models/tiny")
+    assert md["name"] == "tiny"
+    assert md["inputs"][0]["datatype"] == "UINT8"
+    meta = json.loads(md["parameters"]["metadata"])
+    assert meta["task"] == "detect"
+    assert [int(s) for s in meta["stride"]] == [8, 16, 32]
+
+
+def test_remote_model_matches_local_backend(served):
+    srv, ckpt = served
+    from spectrogram_yolov11_tpu.nn.autobackend import AutoBackend
+    from spectrogram_yolov11_tpu.serve import RemoteModel
+
+    x = np.random.default_rng(0).integers(0, 255, (1, 64, 64, 3), np.uint8)
+    local = np.asarray(AutoBackend(ckpt).forward(x))
+    remote = RemoteModel(f"http://127.0.0.1:{srv.port}/tiny")(x)[0]
+    assert remote.shape == local.shape
+    np.testing.assert_allclose(remote, local, atol=1e-5, rtol=1e-5)
+
+
+def test_batch_bucketing_pads_and_slices(served):
+    srv, _ = served
+    from spectrogram_yolov11_tpu.serve import RemoteModel
+
+    x = np.zeros((3, 64, 64, 3), np.uint8)  # pads to the 4-bucket, slices back
+    out = RemoteModel(f"http://127.0.0.1:{srv.port}/tiny")(x)[0]
+    assert out.shape[0] == 3
+
+
+def test_json_tensor_path(served):
+    """Non-binary (pure JSON data lists) requests per the base v2 protocol."""
+    srv, _ = served
+    x = np.zeros((1, 64, 64, 3), np.uint8)
+    body = json.dumps({
+        "inputs": [{"name": "images", "shape": list(x.shape), "datatype": "UINT8",
+                    "data": x.reshape(-1).tolist()}],
+    }).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/v2/models/tiny/infer", data=body,
+        method="POST", headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        doc = json.loads(r.read())
+    out = doc["outputs"][0]
+    assert out["datatype"] == "FP32" and len(out["data"]) == int(np.prod(out["shape"]))
+
+
+def test_yolo_url_predict(served):
+    srv, _ = served
+    m = YOLO(srv.url)
+    assert m.task == "detect" and m.backend is not None
+    img = np.random.default_rng(1).integers(0, 255, (80, 96, 3), np.uint8)
+    res = m.predict(img, imgsz=64, conf=0.0, max_det=5)
+    assert len(res) == 1 and len(res[0].boxes) <= 5
+    assert res[0].boxes.data.shape[1] == 6
+
+
+def test_yolo_url_val(served):
+    srv, _ = served
+    m = YOLO(srv.url)
+    metrics = m.val(data="shapes128.yaml", imgsz=64, batch=4, plots=False, verbose=False)
+    assert np.isfinite(metrics["metrics/mAP50(B)"])
+
+
+def test_yolo_url_train_raises(served):
+    srv, _ = served
+    with pytest.raises(ValueError, match="inference-only"):
+        YOLO(srv.url).train(data="shapes128.yaml", epochs=1)
+
+
+def test_cli_serve_verb(tmp_path, served):
+    """`yolo serve ... block=False` binds, serves, and returns the server."""
+    _, ckpt = served
+    from spectrogram_yolov11_tpu.cfg import entrypoint
+
+    srv2 = entrypoint(f"yolo serve model={ckpt} port=0 block=False")
+    try:
+        assert _get(f"http://127.0.0.1:{srv2.port}/v2/health/live") == {}
+    finally:
+        srv2.shutdown()

@@ -1,0 +1,118 @@
+"""Train-to-convergence mAP parity: reference (torch, CPU) vs this framework (TPU).
+
+The north-star claim (BASELINE.json) is matched mAP@0.5 / mAP@0.5:0.95 against
+the reference on the spectrogram dataset. Loss/NMS/val-protocol parity are each
+oracle-tested in tests/; this harness closes the loop end-to-end: train the
+SAME architecture (our `spectrogram_yolo11.yaml` == the fork's
+`yolo11_HCA.yaml`, reference/ultralytics/cfg/models/11/yolo11_HCA.yaml) from
+scratch on the SAME materialized spectrogram_synth dataset with the SAME hyps,
+then compare:
+
+  1. reference-trained mAP, reference validator  (torch, tests/oracle.py stubs)
+  2. ours-trained mAP, our validator             (TPU)
+  3. reference-trained weights ingested via torch_compat -> OUR validator
+     (cross-check: weight ingest + val protocol on real converged weights)
+
+Usage (from repo root; phases are separate so the slow torch run can go in the
+background first):
+    python tools/convergence_parity.py ref   [epochs] [imgsz]   # torch CPU
+    python tools/convergence_parity.py ours  [epochs] [imgsz]   # TPU
+    python tools/convergence_parity.py cross                    # ref weights -> our val
+    python tools/convergence_parity.py report
+
+Results land in runs/parity/{ref,ours}/ and runs/parity/summary.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+OUT = REPO / "runs" / "parity"
+DATA_DIR = REPO / "datasets" / "spectrogram_synth"
+EPOCHS, IMGSZ, BATCH = 40, 320, 16
+
+COMMON = dict(imgsz=IMGSZ, batch=BATCH, seed=0, deterministic=True,
+              plots=False, exist_ok=True)
+
+
+def _ref_data_yaml() -> Path:
+    p = OUT / "spectrogram_synth_ref.yaml"
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(
+        f"path: {DATA_DIR}\ntrain: images/train\nval: images/val\n"
+        "names:\n  0: LTE\n  1: RF\n"
+    )
+    return p
+
+
+def run_ref(epochs: int, imgsz: int) -> dict:
+    """Train + val the reference fork on CPU (torchvision/thop stubbed)."""
+    sys.path.insert(0, str(REPO / "tests"))
+    from oracle import load_reference
+
+    load_reference()
+    from ultralytics import YOLO  # noqa: reference package, read-only checkout
+
+    m = YOLO(str(Path("/root/reference/ultralytics/cfg/models/11/yolo11_HCA.yaml")))
+    res = m.train(data=str(_ref_data_yaml()), epochs=epochs, device="cpu",
+                  workers=2, project=str(OUT), name="ref", amp=False,
+                  **{**COMMON, "imgsz": imgsz})
+    out = {"framework": "reference-torch-cpu", "epochs": epochs, "imgsz": imgsz,
+           "map50": float(res.box.map50), "map50_95": float(res.box.map)}
+    (OUT / "ref_metrics.json").write_text(json.dumps(out, indent=1))
+    return out
+
+
+def run_ours(epochs: int, imgsz: int) -> dict:
+    from spectrogram_yolov11_tpu import YOLO
+
+    m = YOLO("spectrogram_yolo11.yaml")
+    res = m.train(data="spectrogram_synth.yaml", epochs=epochs,
+                  project=str(OUT), name="ours", **{**COMMON, "imgsz": imgsz})
+    out = {"framework": "spectrogram_yolov11_tpu", "epochs": epochs, "imgsz": imgsz,
+           "map50": float(res.box.map50), "map50_95": float(res.box.map)}
+    (OUT / "ours_metrics.json").write_text(json.dumps(out, indent=1))
+    return out
+
+
+def run_cross() -> dict:
+    """Reference-trained best.pt -> torch_compat ingest -> our validator."""
+    from spectrogram_yolov11_tpu import YOLO
+
+    best = OUT / "ref" / "weights" / "best.pt"
+    m = YOLO(str(best))
+    imgsz = json.loads((OUT / "ref_metrics.json").read_text())["imgsz"]
+    res = m.val(data="spectrogram_synth.yaml", imgsz=imgsz, batch=BATCH,
+                project=str(OUT), name="cross", exist_ok=True, plots=False)
+    out = {"framework": "ref-weights-through-our-val",
+           "map50": float(res.box.map50), "map50_95": float(res.box.map)}
+    (OUT / "cross_metrics.json").write_text(json.dumps(out, indent=1))
+    return out
+
+
+def report() -> None:
+    rows = []
+    for f in ("ref_metrics.json", "ours_metrics.json", "cross_metrics.json"):
+        p = OUT / f
+        if p.exists():
+            rows.append(json.loads(p.read_text()))
+    (OUT / "summary.json").write_text(json.dumps(rows, indent=1))
+    for r in rows:
+        print(f"{r['framework']:35s} mAP50 {r['map50']:.4f}  mAP50-95 {r['map50_95']:.4f}")
+
+
+if __name__ == "__main__":
+    phase = sys.argv[1] if len(sys.argv) > 1 else "report"
+    e = int(sys.argv[2]) if len(sys.argv) > 2 else EPOCHS
+    s = int(sys.argv[3]) if len(sys.argv) > 3 else IMGSZ
+    if phase == "ref":
+        print(run_ref(e, s))
+    elif phase == "ours":
+        print(run_ours(e, s))
+    elif phase == "cross":
+        print(run_cross())
+    else:
+        report()

@@ -153,6 +153,7 @@ class YOLO:
         self.model = trainer.model  # trainer may rebuild (nc/kpt_shape from data)
         self.variables = trainer.variables
         self.trainer = trainer
+        self._predictor_key = None  # weights changed: next predict() rebuilds
         return metrics
 
     def val(self, **kwargs) -> Dict[str, float]:
@@ -186,18 +187,26 @@ class YOLO:
         from spectrogram_yolov11_tpu.engine.predictor import (BasePredictor, ClassificationPredictor, OBBPredictor, PosePredictor, SegmentationPredictor)
 
         self._ensure_variables()
+        overrides = {k: v for k, v in {**self.overrides, **kwargs}.items() if k not in {"model", "task", "mode"}}
+        # Reuse the predictor (and its compiled device program) across calls
+        # when the args that shaped it are unchanged — the reference does the
+        # same (engine/model.py:549 "if not self.predictor"); for us a rebuild
+        # means re-jitting, so this turns repeated predict() calls from
+        # seconds into milliseconds. Any changed override rebuilds.
+        key = tuple(sorted((k, repr(v)) for k, v in overrides.items()))
+        if getattr(self, "predictor", None) is not None and getattr(self, "_predictor_key", None) == key:
+            return self.predictor(source, stream=stream, batch_size=kwargs.get("batch", 1))
         if self.backend is not None:
             from spectrogram_yolov11_tpu.serve import RemotePredictor
 
-            overrides = {k: v for k, v in {**self.overrides, **kwargs}.items() if k not in {"model", "task", "mode"}}
             self.predictor = RemotePredictor(self.backend, overrides=overrides)
+            self._predictor_key = key
             return self.predictor(source, stream=stream, batch_size=kwargs.get("batch", 1))
         cls = {"classify": ClassificationPredictor, "segment": SegmentationPredictor, "pose": PosePredictor, "obb": OBBPredictor}.get(self.task, BasePredictor)
         if self.task == "rtdetr":
             from spectrogram_yolov11_tpu.models.rtdetr import RTDETRPredictor as cls  # noqa: F811
         elif getattr(self, "_fastsam", False):
             from spectrogram_yolov11_tpu.models.fastsam import FastSAMPredictor as cls  # noqa: F811
-        overrides = {k: v for k, v in {**self.overrides, **kwargs}.items() if k not in {"model", "task", "mode"}}
         if self._ensemble is not None:
             from spectrogram_yolov11_tpu.engine.predictor import EnsemblePredictor
 
@@ -207,6 +216,7 @@ class YOLO:
                                                overrides=overrides)
         else:
             self.predictor = cls(self.model, self.variables, overrides=overrides)
+        self._predictor_key = key
         return self.predictor(source, stream=stream, batch_size=kwargs.get("batch", 1))
 
     def __call__(self, source=None, **kwargs):
@@ -308,6 +318,7 @@ class YOLO:
         if not hasattr(self.model, "set_classes"):
             raise AttributeError(f"{self.task} models have a fixed class head; set_classes is world-only")
         self.model.set_classes(classes)
+        self._predictor_key = None  # class embeddings changed: rebuild predictor
 
 
 class YOLOWorld(YOLO):

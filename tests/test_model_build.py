@@ -66,3 +66,19 @@ def test_scales_build():
     m = build_model("yolo11s.yaml", verbose=False)
     assert list(m.stride) == [8.0, 16.0, 32.0]
     assert m.specs[0].args[1] == 32  # 64 * 0.50
+
+
+def test_predictor_reused_across_predict_calls():
+    """Repeated predict() with identical args must reuse the predictor (and
+    its compiled device program) — reference engine/model.py:549; rebuilding
+    per call would re-jit every time. Changed args rebuild."""
+    from spectrogram_yolov11_tpu.engine.model import YOLO
+
+    m = YOLO("yolo11n.yaml")
+    img = np.zeros((64, 80, 3), np.uint8)
+    m.predict(img, imgsz=64)
+    first = m.predictor
+    m.predict(img, imgsz=64)
+    assert m.predictor is first
+    m.predict(img, imgsz=64, conf=0.9)  # changed NMS threshold -> rebuild
+    assert m.predictor is not first

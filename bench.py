@@ -51,6 +51,7 @@ win).
 Extra modes (not part of the headline JSON):
   --train  scan-fenced full-train-step throughput sweep (ROUND3_NOTES §2)
   --data   per-image host pipeline cost: augment vs plain vs collate
+  --serve  KServe-v2 HTTP serving throughput on localhost (serve.py)
 """
 
 from __future__ import annotations
@@ -246,6 +247,54 @@ def bench_data() -> None:
     }))
 
 
+def bench_serve() -> None:
+    """`python bench.py --serve`: sustained serving throughput through the
+    KServe-v2 HTTP server (serve.py) on localhost — client-side letterbox ->
+    JSON+binary-tensor request -> server H2D -> jitted forward+decode ->
+    D2H -> response parse. Reported per batch size, single client and two
+    concurrent clients (the ThreadingHTTPServer overlaps one request's
+    serialize/deserialize with the other's chip time; the chip itself
+    serializes behind the runner lock). Not part of the headline JSON."""
+    import threading
+
+    from spectrogram_yolov11_tpu.serve import InferenceServer, RemoteModel
+
+    ckpt = Path("runs_artifacts/spectrogram_yolo11n.ckpt")
+    srv = InferenceServer({"bench": str(ckpt) if ckpt.exists() else "yolo11n.yaml"},
+                          port=0, half=True).start()  # bf16 serving fast path
+    url = f"http://127.0.0.1:{srv.port}/bench"
+    frames = _load_frames(8)
+    lb = np.stack([cv2.resize(f, (IMGSZ, IMGSZ), interpolation=cv2.INTER_LINEAR) for f in frames])
+
+    out = {}
+    K = 12
+    for bs in (8, 32):
+        batch = np.ascontiguousarray(np.resize(lb, (bs, IMGSZ, IMGSZ, 3)))
+        cli = RemoteModel(url)
+        cli(batch), cli(batch)  # compile + steady-state warm
+        t0 = time.perf_counter()
+        for _ in range(K):
+            cli(batch)
+        seq = bs * K / (time.perf_counter() - t0)
+
+        def worker():
+            c = RemoteModel(url)
+            for _ in range(K // 2):
+                c(batch)
+
+        threads = [threading.Thread(target=worker) for _ in range(2)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        par = bs * K / (time.perf_counter() - t0)
+        out[f"bs{bs}"] = {"img_s_1client": round(seq), "img_s_2clients": round(par)}
+        print(f"bs{bs}: {seq:.0f} img/s (1 client), {par:.0f} img/s (2 clients)", flush=True)
+    srv.shutdown()
+    print(json.dumps({"metric": "KServe-v2 serving throughput (localhost HTTP)", "sweep": out}))
+
+
 def main() -> None:
     import jax
 
@@ -426,5 +475,7 @@ if __name__ == "__main__":
         bench_train()
     elif "--data" in sys.argv:
         bench_data()
+    elif "--serve" in sys.argv:
+        bench_serve()
     else:
         main()

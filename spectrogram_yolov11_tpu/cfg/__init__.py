@@ -261,6 +261,8 @@ def entrypoint(debug: str = "") -> Any:
                 host=str(skv.get("host", "127.0.0.1")),
                 port=int(skv.get("port", 8000)),
                 block=bool(skv.get("block", True)),
+                data_parallel=bool(skv.get("data_parallel", False)),
+                half=bool(skv.get("half", False)),
             )
         elif a == "solutions":
             # `yolo solutions <Name> source=... [k=v...]` (reference cfg/__init__.py

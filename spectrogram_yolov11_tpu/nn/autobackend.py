@@ -62,6 +62,8 @@ class AutoBackend:
             y = YOLO(src)
             y._ensure_variables()
             self.model, self.variables = y.model, y.variables
+            if half:  # bf16 compute, the TPU serving fast path (params stay f32)
+                self.model.set_dtype(jnp.bfloat16)
             self.names = y.names
             self.stride = y.stride
             self.task = y.task

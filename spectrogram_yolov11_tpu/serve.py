@@ -68,16 +68,40 @@ def _bucket(n: int) -> int:
 
 
 class _ModelRunner:
-    """One served model: AutoBackend + compile-cache-friendly batch bucketing."""
+    """One served model: AutoBackend + compile-cache-friendly batch bucketing.
 
-    def __init__(self, source, name: Optional[str] = None):
+    With ``data_parallel=True`` and >1 device visible, each request's batch is
+    sharded over a ``Mesh(('data',))`` and the weights are replicated — XLA
+    splits the forward across chips with zero collectives (embarrassingly
+    batch-parallel), so one server process serves a whole pod slice. This is
+    the TPU-native scale-up the reference delegates to Triton instance groups.
+    """
+
+    def __init__(self, source, name: Optional[str] = None, data_parallel: bool = False,
+                 half: bool = False):
         from spectrogram_yolov11_tpu.nn.autobackend import AutoBackend
 
-        self.backend = source if isinstance(source, AutoBackend) else AutoBackend(str(source))
+        self.backend = source if isinstance(source, AutoBackend) else AutoBackend(str(source), half=half)
         stem = Path(str(getattr(self.backend, "weights", "model"))).stem or "model"
         self.name = name or stem
         self.lock = threading.Lock()
         self._out_specs: Optional[List[dict]] = None
+        self.mesh = None
+        if data_parallel:
+            import jax
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            devs = jax.devices()
+            if len(devs) > 1 and self.backend.variables is not None:
+                self.mesh = Mesh(np.array(devs), ("data",))
+                self.n_dev = len(devs)
+                self._in_shard = NamedSharding(self.mesh, PartitionSpec("data"))
+                # replicate weights once; backend._fn reads .variables late-bound
+                self.backend.variables = jax.device_put(
+                    self.backend.variables, NamedSharding(self.mesh, PartitionSpec()))
+            else:
+                LOGGER.warning("serve: data_parallel requested but "
+                               f"{len(devs)} device(s) / kind={self.backend.kind}; serving single-device")
 
     def _outputs(self, arrays: List[np.ndarray]) -> List[dict]:
         return [
@@ -117,12 +141,23 @@ class _ModelRunner:
 
     def infer(self, inputs: List[np.ndarray]) -> List[np.ndarray]:
         imgs = inputs[0]
+        if imgs.ndim == 4 and imgs.shape[-1] == 1:
+            # gray-upload clients (spectrogram frames) send ONE channel to cut
+            # the HTTP payload 3x; the graph wants 3 (predictor.py _maybe_gray)
+            imgs = np.repeat(imgs, 3, axis=-1)
         n = imgs.shape[0]
         nb = _bucket(n)
+        if self.mesh is not None:  # batch must split evenly over the mesh
+            nb = max(nb, self.n_dev)
+            nb += (-nb) % self.n_dev  # non-power-of-two device counts
         if nb != n:
             pad = np.zeros((nb - n,) + imgs.shape[1:], imgs.dtype)
             imgs = np.concatenate([imgs, pad], axis=0)
         with self.lock:
+            if self.mesh is not None:
+                import jax
+
+                imgs = jax.device_put(imgs, self._in_shard)
             out = self.backend.forward(imgs)
         outs = list(out) if isinstance(out, (tuple, list)) else [out]
         return [np.asarray(o)[:n] for o in outs]
@@ -177,12 +212,13 @@ class InferenceServer:
     """
 
     def __init__(self, models: Union[str, Path, Dict[str, object]],
-                 host: str = "127.0.0.1", port: int = 8000):
+                 host: str = "127.0.0.1", port: int = 8000, data_parallel: bool = False,
+                 half: bool = False):
         if not isinstance(models, dict):
             models = {None: models}
         self.models: Dict[str, _ModelRunner] = {}
         for name, src in models.items():
-            r = _ModelRunner(src, name=name)
+            r = _ModelRunner(src, name=name, data_parallel=data_parallel, half=half)
             self.models[r.name] = r
         self.host, self.port = host, int(port)
         self._httpd: Optional[ThreadingHTTPServer] = None
@@ -319,7 +355,9 @@ class RemoteModel:
     def _get_json(self, url: str) -> dict:
         import urllib.request
 
-        with urllib.request.urlopen(url, timeout=60) as r:
+        # first metadata read triggers the server's probe forward -> an XLA
+        # compile (tens of seconds cold on a contended host); don't time out
+        with urllib.request.urlopen(url, timeout=600) as r:
             return json.loads(r.read())
 
     def __call__(self, *inputs: np.ndarray) -> List[np.ndarray]:
@@ -404,7 +442,13 @@ class RemotePredictor:
                 nms = jax.jit(lambda p: non_max_suppression(p, **nms_kw))
 
                 def run(_variables, imgs_u8):
-                    out = backend.forward(np.asarray(imgs_u8))
+                    # host pipeline hands BGR (cv2); the export/serve graph
+                    # contract is RGB with no on-device flip
+                    # (exporter.py build_inference_fn) — flip here. A gray
+                    # (1-channel) batch passes through unchanged and the
+                    # server broadcasts it to 3 (_ModelRunner.infer).
+                    arr = np.asarray(imgs_u8)[..., ::-1]
+                    out = backend.forward(np.ascontiguousarray(arr))
                     preds = out[0] if isinstance(out, (tuple, list)) else out
                     return nms(jnp.asarray(preds))
 
@@ -419,9 +463,9 @@ class RemotePredictor:
 
 
 def serve(models, host: str = "127.0.0.1", port: int = 8000,
-          block: bool = True) -> InferenceServer:
+          block: bool = True, data_parallel: bool = False, half: bool = False) -> InferenceServer:
     """Entry used by ``yolo serve`` (cfg/__init__.py) and programmatic users."""
-    srv = InferenceServer(models, host=host, port=port)
+    srv = InferenceServer(models, host=host, port=port, data_parallel=data_parallel, half=half)
     if block:
         srv.serve_forever()
     else:

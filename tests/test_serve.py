@@ -119,3 +119,38 @@ def test_cli_serve_verb(tmp_path, served):
         assert _get(f"http://127.0.0.1:{srv2.port}/v2/health/live") == {}
     finally:
         srv2.shutdown()
+
+
+def test_remote_predict_matches_local_predict(served):
+    """The remote path (host BGR->RGB flip + server graph, no on-device flip)
+    must produce the SAME detections as the local predictor (on-device flip).
+    conf=0 keeps max_det rows regardless of score, so this catches a channel
+    swap on any color image even with random-init weights."""
+    srv, ckpt = served
+    img = np.random.default_rng(2).integers(0, 255, (96, 128, 3), np.uint8)
+    kw = dict(imgsz=64, conf=0.0, max_det=8, verbose=False)
+    local = YOLO(ckpt).predict(img, **kw)[0].boxes.data
+    remote = YOLO(srv.url).predict(img, **kw)[0].boxes.data
+    assert local.shape == remote.shape and local.shape[0] == 8
+    np.testing.assert_allclose(remote, local, atol=1e-3, rtol=1e-3)
+
+
+def test_data_parallel_serving_matches(served, tmp_path):
+    """data_parallel=True shards request batches over the (virtual 8-device)
+    mesh with replicated weights; detections must equal single-device serving
+    and any remainder batch must still pad to a mesh-divisible bucket."""
+    import jax
+
+    from spectrogram_yolov11_tpu.serve import InferenceServer, RemoteModel
+
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+    srv, ckpt = served
+    dp = InferenceServer({"tiny": ckpt}, port=0, data_parallel=True).start()
+    try:
+        x = np.random.default_rng(3).integers(0, 255, (3, 64, 64, 3), np.uint8)
+        a = RemoteModel(f"http://127.0.0.1:{srv.port}/tiny")(x)[0]
+        b = RemoteModel(f"http://127.0.0.1:{dp.port}/tiny")(x)[0]
+        assert b.shape == a.shape
+        np.testing.assert_allclose(b, a, atol=1e-4, rtol=1e-4)
+    finally:
+        dp.shutdown()

@@ -103,6 +103,8 @@ class AutoBackend:
             self.names = {int(k): str(v) for k, v in (md.get("names") or {}).items()}
             if md.get("stride"):
                 self.stride = np.asarray(md["stride"], np.float32)
+            if md.get("kpt_shape"):
+                self.kpt_shape = tuple(int(x) for x in md["kpt_shape"])
 
             def run(x):
                 outs = self._remote(np.asarray(x))

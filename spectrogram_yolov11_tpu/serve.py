@@ -127,6 +127,9 @@ class _ModelRunner:
             "stride": [float(s) for s in np.asarray(getattr(b, "stride", [8, 16, 32])).tolist()],
             "nc": len(names) or None,
         }
+        kpt = getattr(getattr(b, "model", None), "kpt_shape", None)
+        if kpt:  # pose clients need it to split the keypoint tail
+            meta["kpt_shape"] = [int(x) for x in kpt]
         return {
             "name": self.name,
             "versions": ["1"],
@@ -408,28 +411,41 @@ class RemoteModel:
         return [outs[n] for n in names]
 
 
+def _remote_forward(backend):
+    """Host pipeline hands BGR (cv2); the export/serve graph contract is RGB
+    with no on-device flip (exporter.py build_inference_fn) — flip here. A
+    gray (1-channel) batch passes through unchanged (the flip is identity)
+    and the server broadcasts it to 3 (_ModelRunner.infer)."""
+
+    def fwd(imgs_u8):
+        arr = np.asarray(imgs_u8)[..., ::-1]
+        return backend.forward(np.ascontiguousarray(arr))
+
+    return fwd
+
+
 class RemotePredictor:
-    """Predict through a remote server: host letterbox -> remote forward
-    (decoded preds in the export nms=False layout) -> local jitted NMS.
-    Mirrors the reference flow where the Triton server runs the network and
-    the client predictor postprocesses (reference nn/autobackend.py triton
-    branch + engine/predictor.py postprocess)."""
+    """Predict through a remote server for every task: host letterbox ->
+    remote forward (the export nms=False layout: decoded preds + per-task
+    extras) -> local jitted NMS / mask / keypoint postprocess. Mirrors the
+    reference flow where the Triton server runs the network and the client
+    predictor postprocesses (reference nn/autobackend.py triton branch +
+    engine/predictor.py postprocess)."""
 
     def __new__(cls, backend, overrides=None):
         import jax
         import jax.numpy as jnp
 
-        from spectrogram_yolov11_tpu.engine.predictor import BasePredictor
-        from spectrogram_yolov11_tpu.ops.nms import non_max_suppression
+        from spectrogram_yolov11_tpu.engine.predictor import (
+            BasePredictor, ClassificationPredictor, OBBPredictor, PosePredictor,
+            SegmentationPredictor)
+        from spectrogram_yolov11_tpu.ops.nms import (
+            nms_rotated, non_max_suppression, non_max_suppression_extras)
 
         task = getattr(backend, "task", "detect")
-        if task not in {"detect", "world"}:
-            raise NotImplementedError(
-                f"remote predict supports detect-family models (got task={task!r}); "
-                "use RemoteModel directly for raw outputs, or val via YOLO(url).val"
-            )
+        fwd = _remote_forward(backend)
 
-        class _P(BasePredictor):
+        class _Detect(BasePredictor):
             def _build_device_fn(self):
                 args, nc = self.args, self.model.nc
                 nms_kw = dict(
@@ -442,24 +458,81 @@ class RemotePredictor:
                 nms = jax.jit(lambda p: non_max_suppression(p, **nms_kw))
 
                 def run(_variables, imgs_u8):
-                    # host pipeline hands BGR (cv2); the export/serve graph
-                    # contract is RGB with no on-device flip
-                    # (exporter.py build_inference_fn) — flip here. A gray
-                    # (1-channel) batch passes through unchanged and the
-                    # server broadcasts it to 3 (_ModelRunner.infer).
-                    arr = np.asarray(imgs_u8)[..., ::-1]
-                    out = backend.forward(np.ascontiguousarray(arr))
+                    out = fwd(imgs_u8)
                     preds = out[0] if isinstance(out, (tuple, list)) else out
                     return nms(jnp.asarray(preds))
 
                 return run
+
+        class _Segment(SegmentationPredictor):
+            def _build_device_fn(self):
+                args, nc = self.args, self.model.nc
+
+                @jax.jit
+                def post(preds, proto):
+                    out, nv = non_max_suppression_extras(
+                        preds, conf_thres=float(args.conf), iou_thres=float(args.iou),
+                        nc=nc, max_det=int(args.max_det))
+                    masks = jax.nn.sigmoid(jnp.einsum("bdk,bhwk->bdhw", out[..., 6:], proto))
+                    return out[..., :6], nv, masks
+
+                def run(_variables, imgs_u8):
+                    preds, proto = fwd(imgs_u8)
+                    return post(jnp.asarray(preds), jnp.asarray(proto))
+
+                return run
+
+        class _Pose(PosePredictor):
+            def _build_device_fn(self):
+                args, nc = self.args, self.model.nc
+                nms = jax.jit(lambda p: non_max_suppression_extras(
+                    p, conf_thres=float(args.conf), iou_thres=float(args.iou),
+                    nc=nc, max_det=int(args.max_det)))
+
+                def run(_variables, imgs_u8):
+                    out = fwd(imgs_u8)  # preds+decoded kpts (B, A, 4+nc+nk*nd)
+                    preds = out[0] if isinstance(out, (tuple, list)) else out
+                    return nms(jnp.asarray(preds))
+
+                return run
+
+        class _OBB(OBBPredictor):
+            def _build_device_fn(self):
+                args, nc = self.args, self.model.nc
+                nms = jax.jit(lambda p: nms_rotated(
+                    p, conf_thres=float(args.conf), iou_thres=float(args.iou),
+                    nc=nc, max_det=int(args.max_det)))
+
+                def run(_variables, imgs_u8):
+                    out = fwd(imgs_u8)  # decoded rboxes (B, A, 4+nc+1)
+                    preds = out[0] if isinstance(out, (tuple, list)) else out
+                    return nms(jnp.asarray(preds))
+
+                return run
+
+        class _Classify(ClassificationPredictor):
+            def _build_device_fn(self):
+                def run(_variables, imgs_u8):
+                    out = fwd(imgs_u8)  # server already applies softmax
+                    return out[0] if isinstance(out, (tuple, list)) else out
+
+                return run
+
+        P = {"detect": _Detect, "world": _Detect, "segment": _Segment,
+             "pose": _Pose, "obb": _OBB, "classify": _Classify}.get(task)
+        if P is None:
+            raise NotImplementedError(
+                f"remote predict: task {task!r} not supported; "
+                "use RemoteModel directly for raw outputs, or val via YOLO(url).val")
 
         meta = type("RemoteMeta", (), {})()
         meta.names = dict(getattr(backend, "names", {}) or {})
         meta.nc = len(meta.names) or 80
         meta.stride = np.asarray(getattr(backend, "stride", [8.0, 16.0, 32.0]))
         meta.task, meta.end2end = task, False
-        return _P(meta, None, overrides=overrides)
+        if getattr(backend, "kpt_shape", None):
+            meta.kpt_shape = tuple(backend.kpt_shape)
+        return P(meta, None, overrides=overrides)
 
 
 def serve(models, host: str = "127.0.0.1", port: int = 8000,

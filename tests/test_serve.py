@@ -154,3 +154,44 @@ def test_data_parallel_serving_matches(served, tmp_path):
         np.testing.assert_allclose(b, a, atol=1e-4, rtol=1e-4)
     finally:
         dp.shutdown()
+
+
+@pytest.mark.parametrize("yaml_name,task", [
+    ("yolo11n-seg.yaml", "segment"),
+    ("yolo11n-pose.yaml", "pose"),
+    ("yolo11n-obb.yaml", "obb"),
+    ("yolo11n-cls.yaml", "classify"),
+])
+def test_remote_predict_all_tasks(tmp_path, yaml_name, task):
+    """Every task predicts through the server with results matching the local
+    predictor (the reference's Triton path is task-generic the same way)."""
+    from spectrogram_yolov11_tpu.serve import InferenceServer
+
+    m = YOLO(yaml_name)
+    m._ensure_variables()
+    ckpt = tmp_path / f"{task}.ckpt"
+    m.save(ckpt)
+    srv = InferenceServer({task: str(ckpt)}, port=0).start()
+    try:
+        img = np.random.default_rng(4).integers(0, 255, (96, 128, 3), np.uint8)
+        kw = dict(imgsz=64, conf=0.0, max_det=4, verbose=False)
+        if task == "classify":
+            kw = dict(imgsz=64, verbose=False)
+        local = YOLO(str(ckpt)).predict(img, **kw)[0]
+        remote = YOLO(f"http://127.0.0.1:{srv.port}/{task}").predict(img, **kw)[0]
+        if task == "classify":
+            np.testing.assert_allclose(np.asarray(remote.probs.data), np.asarray(local.probs.data),
+                                       atol=1e-4, rtol=1e-4)
+        elif task == "obb":
+            np.testing.assert_allclose(remote.obb.data, local.obb.data, atol=1e-2, rtol=1e-3)
+        else:
+            np.testing.assert_allclose(remote.boxes.data, local.boxes.data, atol=1e-2, rtol=1e-3)
+            if task == "segment" and len(local.boxes):
+                a, b = remote.masks.data, local.masks.data
+                assert a is not None and a.shape == b.shape
+                assert (a == b).mean() > 0.99  # bool masks; resize rounding may flip edge pixels
+            if task == "pose" and len(local.boxes):
+                np.testing.assert_allclose(remote.keypoints.data, local.keypoints.data,
+                                           atol=1e-2, rtol=1e-3)
+    finally:
+        srv.shutdown()

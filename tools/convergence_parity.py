@@ -73,22 +73,38 @@ def run_ours(epochs: int, imgsz: int) -> dict:
     res = m.train(data="spectrogram_synth.yaml", epochs=epochs,
                   project=str(OUT), name="ours", **{**COMMON, "imgsz": imgsz})
     out = {"framework": "spectrogram_yolov11_tpu", "epochs": epochs, "imgsz": imgsz,
-           "map50": float(res.box.map50), "map50_95": float(res.box.map)}
+           "map50": float(res["metrics/mAP50(B)"]), "map50_95": float(res["metrics/mAP50-95(B)"])}
+    (OUT / "ours_metrics.json").write_text(json.dumps(out, indent=1))
+    return out
+
+
+def val_ours(imgsz: int) -> dict:
+    """Re-val an already-trained runs/parity/ours/weights/best.ckpt."""
+    from spectrogram_yolov11_tpu import YOLO
+
+    m = YOLO(str(OUT / "ours" / "weights" / "best.ckpt"))
+    res = m.val(data="spectrogram_synth.yaml", imgsz=imgsz, batch=BATCH, plots=False)
+    out = {"framework": "spectrogram_yolov11_tpu", "imgsz": imgsz,
+           "map50": float(res["metrics/mAP50(B)"]), "map50_95": float(res["metrics/mAP50-95(B)"])}
     (OUT / "ours_metrics.json").write_text(json.dumps(out, indent=1))
     return out
 
 
 def run_cross() -> dict:
     """Reference-trained best.pt -> torch_compat ingest -> our validator."""
+    # unpickling the reference checkpoint needs its class tree importable
+    sys.path.insert(0, str(REPO / "tests"))
+    from oracle import load_reference
+
+    load_reference()
     from spectrogram_yolov11_tpu import YOLO
 
     best = OUT / "ref" / "weights" / "best.pt"
     m = YOLO(str(best))
     imgsz = json.loads((OUT / "ref_metrics.json").read_text())["imgsz"]
-    res = m.val(data="spectrogram_synth.yaml", imgsz=imgsz, batch=BATCH,
-                project=str(OUT), name="cross", exist_ok=True, plots=False)
+    res = m.val(data="spectrogram_synth.yaml", imgsz=imgsz, batch=BATCH, plots=False)
     out = {"framework": "ref-weights-through-our-val",
-           "map50": float(res.box.map50), "map50_95": float(res.box.map)}
+           "map50": float(res["metrics/mAP50(B)"]), "map50_95": float(res["metrics/mAP50-95(B)"])}
     (OUT / "cross_metrics.json").write_text(json.dumps(out, indent=1))
     return out
 
@@ -112,6 +128,8 @@ if __name__ == "__main__":
         print(run_ref(e, s))
     elif phase == "ours":
         print(run_ours(e, s))
+    elif phase == "ours-val":
+        print(val_ours(s))
     elif phase == "cross":
         print(run_cross())
     else:

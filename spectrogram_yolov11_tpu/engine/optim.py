@@ -162,7 +162,10 @@ def apply_updates(params, grads, state: OptState, opt: OptConfig, groups, weight
             lambda p, g, m, n, grp: upd(p, g, m, grp), params, grads, state.mu, state.nu, gid
         )
     else:  # adamw (decoupled decay)
-        b1, b2, eps = mom, 0.999, 1e-8
+        # betas are FIXED for Adam-family: the reference's momentum warmup
+        # only touches param groups with a "momentum" key, which Adam groups
+        # lack (reference trainer.py:374-375) — so b1 stays at opt.momentum.
+        b1, b2, eps = opt.momentum, 0.999, 1e-8
         t = state.step.astype(jnp.float32) + 1.0
         bc1 = 1 - b1**t
         bc2 = 1 - b2**t

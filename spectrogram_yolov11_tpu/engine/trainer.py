@@ -15,9 +15,7 @@ models/yolo/detect/train.py:19) redesigned TPU-first:
   (trainer.py:364), early stopping (torch_utils.py:713), close_mosaic
   (trainer.py:337), checkpoint schema (trainer.py:512) all reproduced.
 
-Known deviations (documented): the warmup-ramped accumulate count is fixed at
-round(nbs/batch) from step 0 (a ramp would change the jitted graph shape);
-multi_scale (detect task) draws from the static ladder
+Known deviations (documented): multi_scale (detect task) draws from the static ladder
 {0.5, 0.75, 1.0, 1.25, 1.5} x imgsz snapped to /32 — one XLA program per size —
 instead of the reference's any-multiple-of-32 uniform draw (train.py:19
 preprocess_batch), which would compile tens of programs for no accuracy gain.
@@ -261,7 +259,7 @@ class BaseTrainer:
         return out, mut["batch_stats"]
 
     # -- jitted step --------------------------------------------------------
-    def _make_train_step(self, opt_cfg, groups, accumulate: int, wd_scaled: float):
+    def _make_train_step(self, opt_cfg, groups, wd_scaled: float):
         compute_loss = self.compute_loss
         forward_train = self.forward_train
 
@@ -272,10 +270,12 @@ class BaseTrainer:
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-        def train_step(state, batch, ni):
+        def train_step(state, batch, ni, do_step):
+            # do_step is computed on host per-iteration (warmup-ramped
+            # accumulate, reference trainer.py:368,391) and passed as a traced
+            # scalar so the ramp changes no graph shapes.
             (loss, (items, new_bs)), grads = grad_fn(state["params"], state["batch_stats"], batch, ni)
             buf = jax.tree_util.tree_map(lambda b, g: b + g, state["grad_buf"], grads)
-            do_step = ((ni + 1) % accumulate) == 0
 
             def apply_branch(operand):
                 params, opt_state, buf, ema, ema_updates = operand
@@ -375,7 +375,7 @@ class BaseTrainer:
             "ema_updates": jnp.asarray(resumed.get("updates", 0), jnp.int32),
         }
         state = replicate_state(state, mesh)
-        step_fn = self._make_train_step(opt_cfg, groups, accumulate, wd_scaled)
+        step_fn = self._make_train_step(opt_cfg, groups, wd_scaled)
 
         stopper = EarlyStopping(self.args.patience)
         if self.args.profile:
@@ -395,6 +395,7 @@ class BaseTrainer:
             LOGGER.info(f"Multi-scale training over {ms_sizes} (one XLA program per size)")
         t_start = time.time()
         stop = False
+        last_opt_step = -1
         LOGGER.info(
             f"Starting training for {self.epochs} epochs on {len(mesh.devices.flat)} device(s): "
             f"{nb} iters/epoch, batch {self.batch_size}, imgsz {self.imgsz}"
@@ -419,7 +420,17 @@ class BaseTrainer:
                     if sz != batch["img"].shape[1]:
                         batch = {**batch, "img": _resize_uint8_batch(batch["img"], sz)}
                 batch_dev = shard_batch({k: v for k, v in batch.items() if k in train_keys}, mesh)
-                state, loss, items = step_fn(state, batch_dev, jnp.asarray(ni, jnp.int32))
+                # warmup-ramped accumulate 1 -> nbs/batch (reference
+                # trainer.py:366-368): more optimizer steps early in training
+                acc = accumulate
+                if opt_cfg.warmup_iters > 0 and ni <= opt_cfg.warmup_iters:
+                    acc = max(1, int(np.interp(
+                        ni, [0, opt_cfg.warmup_iters], [1, self.args.nbs / self.batch_size]).round()))
+                do_step = ni - last_opt_step >= acc
+                if do_step:
+                    last_opt_step = ni
+                state, loss, items = step_fn(
+                    state, batch_dev, jnp.asarray(ni, jnp.int32), jnp.asarray(do_step))
                 mloss = (mloss * i + np.asarray(items)) / (i + 1)
                 if hasattr(pbar, "set_postfix"):
                     pbar.set_postfix(**{n.split("_")[0]: f"{v:.3f}" for n, v in zip(names, mloss)})

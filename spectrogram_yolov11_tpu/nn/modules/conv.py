@@ -62,6 +62,27 @@ def get_act(act: Union[bool, str, Callable], default: str = "silu") -> Callable:
     return ACTS[str(act).lower()]
 
 
+def torch_kernel_init():
+    """torch nn.Conv2d/Linear default kernel init: kaiming_uniform(a=sqrt(5))
+    = U(-1/sqrt(fan_in), 1/sqrt(fan_in)). flax variance_scaling's uniform
+    bound is sqrt(3*scale/fan_in), so scale=1/3 reproduces the torch bound
+    (fan_in for grouped conv kernels (H,W,Cin/g,Cout) matches torch's
+    Cin/g*H*W). Matching the init distribution matters for *training-from-
+    scratch* parity: lecun_normal is ~1.7x wider, which shifts early
+    optimization dynamics (weight-decay equilibria, relative step sizes)."""
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    """torch conv/linear bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(max(fan_in, 1))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 class ConvRaw(nn.Module):
     """Bare conv2d with torch-style explicit padding; named to translate torch nn.Conv2d leaves."""
 
@@ -81,6 +102,7 @@ class ConvRaw(nn.Module):
         if p is None:
             p = tuple(autopad(list(k), None, self.d))
         p = _pair(p)
+        fan_in = k[0] * k[1] * (x.shape[-1] // self.g)
         return nn.Conv(
             features=self.c2,
             kernel_size=k,
@@ -92,6 +114,8 @@ class ConvRaw(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="m",
+            kernel_init=torch_kernel_init(),
+            bias_init=torch_bias_init(fan_in),
         )(x)
 
 
@@ -112,7 +136,8 @@ def conv2d(x, c2, k=1, s=1, p=None, g=1, d=1, bias=False, dtype=None, name="conv
         dtype=dtype,
         param_dtype=jnp.float32,
         name=name,
-        kernel_init=kernel_init or nn.initializers.lecun_normal(),
+        kernel_init=kernel_init or torch_kernel_init(),
+        bias_init=torch_bias_init(kk[0] * kk[1] * (x.shape[-1] // g)),
     )(x)
 
 
@@ -275,8 +300,8 @@ class DWConvTranspose2d(nn.Module):
         g = math.gcd(self.c1, self.c2)
         kk, ss = _pair(self.k), _pair(self.s)
         # Stored pre-flip: kernel[ky,kx,i,j*c2/g+o] = W_torch[j*c1/g+i, o, ky, kx]
-        w = self.param("kernel", nn.initializers.lecun_normal(), (*kk, self.c1 // g, self.c2), jnp.float32)
-        b = self.param("bias", nn.initializers.zeros, (self.c2,), jnp.float32)
+        w = self.param("kernel", torch_kernel_init(), (*kk, self.c1 // g, self.c2), jnp.float32)
+        b = self.param("bias", torch_bias_init(kk[0] * kk[1] * (self.c1 // g)), (self.c2,), jnp.float32)
         dt = self.dtype or x.dtype
         pad = [
             (kk[0] - 1 - self.p1, kk[0] - 1 - self.p1 + self.p2),

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .conv import Conv, autopad, avg_pool2d, batch_norm, conv2d, max_pool2d
+from .conv import Conv, autopad, avg_pool2d, batch_norm, conv2d, max_pool2d, torch_kernel_init
 from .block import Bottleneck, C3, _c2f_forward
 
 Dtype = Any
@@ -185,7 +185,7 @@ class ECAAttention(nn.Module):
     def __call__(self, x, train: bool = False):
         y = x.mean(axis=(1, 2))  # (b, c)
         # conv1d over the channel axis
-        w = self.param("conv", nn.initializers.lecun_normal(), (self.k_size, 1, 1))
+        w = self.param("conv", torch_kernel_init(), (self.k_size, 1, 1))
         y = jax.lax.conv_general_dilated(
             y[:, :, None], w, (1,), [(self.k_size // 2, self.k_size // 2)],
             dimension_numbers=("NWC", "WIO", "NWC"),
@@ -656,7 +656,7 @@ class RecycleConv(nn.Module):
         c_ = self.c2 // 8
         kk = (self.k, self.k) if isinstance(self.k, int) else tuple(self.k)
         p = autopad(self.k, self.p, self.d)
-        w = self.param("conv", nn.initializers.lecun_normal(), (kk[0], kk[1], c_in, c_))
+        w = self.param("conv", torch_kernel_init(), (kk[0], kk[1], c_in, c_))
         scale = self.param("trainable_scale", lambda key: jnp.ones((1, 1, c_in, 1), jnp.float32))
         bn = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                           dtype=jnp.float32, param_dtype=jnp.float32, name="bn_silu_0")

@@ -16,6 +16,25 @@ import jax
 
 from spectrogram_yolov11_tpu.nn.tasks import build_model, guess_model_task, yaml_model_load
 from spectrogram_yolov11_tpu.utils import LOGGER
+from spectrogram_yolov11_tpu.utils.callbacks import default_callbacks
+
+
+def _intersect_variables(dst, src):
+    """Transfer every leaf from ``src`` whose path+shape matches ``dst``
+    (reference utils/torch_utils.py:454 ``intersect_dicts`` — the
+    `YOLO(yaml).load(weights)` transfer-learning semantics). Returns the
+    merged tree and the number of transferred leaves."""
+    if not isinstance(dst, dict) or not isinstance(src, dict):
+        same = getattr(dst, "shape", None) == getattr(src, "shape", ()) and hasattr(src, "shape")
+        return (src, 1) if same else (dst, 0)
+    out, n = {}, 0
+    for k, v in dst.items():
+        if k in src:
+            out[k], m = _intersect_variables(v, src[k])
+            n += m
+        else:
+            out[k] = v
+    return out, n
 
 
 class YOLO:
@@ -24,6 +43,7 @@ class YOLO:
     def __init__(self, model: Union[str, Path, list, tuple] = "yolo11n.yaml", task: Optional[str] = None,
                  verbose: bool = False):
         self._ensemble = None
+        self.callbacks = default_callbacks()
         self.backend = None  # set for remote (served) models only
         if isinstance(model, (list, tuple)):  # weights ensemble (reference nn/tasks.py:718 Ensemble)
             members = [YOLO(m, task=task) for m in model]
@@ -115,6 +135,79 @@ class YOLO:
         if self.variables is None and self.backend is None:
             self.variables = self.model.init(jax.random.PRNGKey(0))
 
+    # -- callback bus on the facade (reference engine/model.py:949-996) ----
+    def add_callback(self, event: str, func) -> None:
+        """Attach `func` to `event`; it is forwarded into every trainer /
+        validator / predictor this model creates (reference add_callback)."""
+        self.callbacks.setdefault(event, []).append(func)
+
+    def clear_callback(self, event: str) -> None:
+        self.callbacks[event] = []
+
+    def reset_callbacks(self) -> None:
+        self.callbacks = default_callbacks()
+
+    def _merge_callbacks(self, runner) -> None:
+        cbs = getattr(runner, "callbacks", None)
+        if cbs is None:
+            cbs = runner.callbacks = {}
+        for e, fns in self.callbacks.items():
+            for f in fns:
+                if f not in cbs.setdefault(e, []):
+                    cbs[e].append(f)
+
+    def load(self, weights: Union[str, Path] = "yolo11n.pt") -> "YOLO":
+        """Transfer matching weights into the current architecture —
+        `YOLO('yolo11n.yaml').load('yolo11n.pt')` (reference engine/model.py:304).
+        Leaves whose path+shape match are copied; the rest keep their init."""
+        self._ensure_variables()
+        path = str(weights)
+        suffix = Path(path).suffix
+        if suffix == ".pt":
+            from spectrogram_yolov11_tpu.utils.torch_compat import (import_pt, load_state_into_variables,
+                                                                    torch_state_to_variables)
+
+            state, _meta = import_pt(path)
+            head_layer = f"model_{self.model.head_spec.i}"
+            conv = torch_state_to_variables(state, head_layer=head_layer, head_task=self.task)
+            self.variables = jax.device_put(load_state_into_variables(self.variables, conv, strict=False))
+        else:  # our .ckpt
+            from spectrogram_yolov11_tpu.engine.checkpoint import load_checkpoint
+
+            tree, _meta = load_checkpoint(path)
+            src = tree.get("ema") or tree["variables"]
+            merged, n = _intersect_variables(self.variables, src)
+            LOGGER.info(f"load({path}): transferred {n} matching weight leaves")
+            self.variables = jax.device_put(merged)
+        self._predictor_key = None
+        return self
+
+    def reset_weights(self) -> "YOLO":
+        """Re-initialize every parameter (reference engine/model.py:288)."""
+        self._ensure_variables()
+        self.variables = jax.device_put(self.model.init(jax.random.PRNGKey(0)))
+        self._predictor_key = None
+        return self
+
+    def eval(self) -> "YOLO":
+        """Drop-in compat: our forwards are pure functions (train=False is an
+        argument, not module state), so there is no mode bit to flip."""
+        return self
+
+    @property
+    def device(self) -> str:
+        if self.variables is not None:
+            leaves = jax.tree_util.tree_leaves(self.variables)
+            if leaves and hasattr(leaves[0], "devices"):
+                return str(next(iter(leaves[0].devices())))
+        return str(jax.devices()[0])
+
+    @property
+    def transforms(self):
+        """Reference parity: custom inference transforms (None unless a
+        checkpoint carries them — ours never do; preprocess is explicit)."""
+        return None
+
     @property
     def names(self) -> Dict[int, str]:
         if self.model is None and self.backend is not None:
@@ -149,6 +242,7 @@ class YOLO:
             trainer_cls = TASK2TRAINER[self.task]
         self._ensure_variables()
         trainer = trainer_cls(overrides=overrides, model=self.model, variables=self.variables)
+        self._merge_callbacks(trainer)
         metrics = trainer.train()
         self.model = trainer.model  # trainer may rebuild (nc/kpt_shape from data)
         self.variables = trainer.variables
@@ -166,6 +260,7 @@ class YOLO:
             # served model: score THROUGH the remote graph (same path as
             # benchmark()'s artifact-true validation)
             validator = V.BackendValidator(self.backend, overrides=overrides)
+            validator.callbacks = self.callbacks  # shared, like the reference
             self.validator = validator
             return validator(data=data)
         if self.task == "rtdetr":
@@ -180,6 +275,7 @@ class YOLO:
                 "classify": V.ClassificationValidator,
             }[self.task]
         validator = cls(self.model, self.variables, overrides=overrides)
+        validator.callbacks = self.callbacks  # shared, like the reference
         self.validator = validator
         return validator(data=data)
 
@@ -195,11 +291,13 @@ class YOLO:
         # seconds into milliseconds. Any changed override rebuilds.
         key = tuple(sorted((k, repr(v)) for k, v in overrides.items()))
         if getattr(self, "predictor", None) is not None and getattr(self, "_predictor_key", None) == key:
+            self.predictor.callbacks = self.callbacks
             return self.predictor(source, stream=stream, batch_size=kwargs.get("batch", 1))
         if self.backend is not None:
             from spectrogram_yolov11_tpu.serve import RemotePredictor
 
             self.predictor = RemotePredictor(self.backend, overrides=overrides)
+            self.predictor.callbacks = self.callbacks
             self._predictor_key = key
             return self.predictor(source, stream=stream, batch_size=kwargs.get("batch", 1))
         cls = {"classify": ClassificationPredictor, "segment": SegmentationPredictor, "pose": PosePredictor, "obb": OBBPredictor}.get(self.task, BasePredictor)
@@ -216,6 +314,7 @@ class YOLO:
                                                overrides=overrides)
         else:
             self.predictor = cls(self.model, self.variables, overrides=overrides)
+        self.predictor.callbacks = self.callbacks  # shared, like the reference
         self._predictor_key = key
         return self.predictor(source, stream=stream, batch_size=kwargs.get("batch", 1))
 

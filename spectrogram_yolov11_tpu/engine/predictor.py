@@ -84,6 +84,10 @@ class BasePredictor:
         self.names = getattr(model, "names", {})
         self._device_fn = None
         self.done_warmup = False
+        # user/event callbacks (reference engine/predictor.py runs
+        # on_predict_{start,batch_start,postprocess_end,batch_end,end});
+        # YOLO._merge_callbacks forwards facade-registered hooks here
+        self.callbacks: dict = {}
 
     # -- device program -------------------------------------------------
     def _build_device_fn(self):
@@ -227,9 +231,12 @@ class BasePredictor:
         return results
 
     def stream_inference(self, source, batch_size: int = 1) -> Iterator[Results]:
+        from spectrogram_yolov11_tpu.utils.callbacks import run_callbacks
+
         if self._device_fn is None or batch_size != self.batch_size:
             self._device_fn = self._build_device_fn()
             self.warmup(batch_size)
+        run_callbacks(self.callbacks, "on_predict_start", self)
         loader = load_inference_source(source, vid_stride=self.args.vid_stride)
         self._loader = loader  # save path reads fps_map for VideoWriter
         gray_state = [None]
@@ -239,6 +246,7 @@ class BasePredictor:
             nonlocal buf_imgs, buf_paths
             if not buf_imgs:
                 return
+            run_callbacks(self.callbacks, "on_predict_batch_start", self)
             t0 = time.perf_counter()
             n_real = len(buf_imgs)
             imgs = buf_imgs + [buf_imgs[-1]] * (batch_size - n_real)
@@ -255,8 +263,11 @@ class BasePredictor:
                 "postprocess": 0.0,
             }
             res = self.postprocess(out, np.asarray(nv), buf_imgs[:n_real], buf_paths[:n_real], speed)
+            self.results = res  # visible to on_predict_* hooks (reference predictor.results)
+            run_callbacks(self.callbacks, "on_predict_postprocess_end", self)
             buf_imgs, buf_paths = [], []
             yield from res
+            run_callbacks(self.callbacks, "on_predict_batch_end", self)
 
         for path, img, _ in loader:
             buf_imgs.append(img)
@@ -264,6 +275,7 @@ class BasePredictor:
             if len(buf_imgs) == batch_size:
                 yield from flush()
         yield from flush()
+        run_callbacks(self.callbacks, "on_predict_end", self)
 
     def __call__(self, source, stream: bool = False, batch_size: int = 1, **kwargs):
         gen = self.stream_inference(source, batch_size=batch_size)
@@ -368,18 +380,27 @@ class SegmentationPredictor(BasePredictor):
         return results
 
     def stream_inference(self, source, batch_size: int = 1):
+        from spectrogram_yolov11_tpu.utils.callbacks import run_callbacks
+
         if self._device_fn is None:
             self._device_fn = self._build_device_fn()
+        run_callbacks(self.callbacks, "on_predict_start", self)
         loader = load_inference_source(source, vid_stride=self.args.vid_stride)
         self._loader = loader
         gray_state = [None]
         for path, img, _ in loader:
+            run_callbacks(self.callbacks, "on_predict_batch_start", self)
             t0 = time.perf_counter()
             batch = _maybe_gray(self.preprocess([img]), gray_state)
             out = self._device_fn(self.variables, jnp.asarray(batch))
             out = jax.block_until_ready(out)
             speed = {"preprocess": 0.0, "inference": (time.perf_counter() - t0) * 1e3, "postprocess": 0.0}
-            yield from self.postprocess((out[0], np.asarray(out[1]), out[2]), np.asarray(out[1]), [img], [path], speed)
+            res = self.postprocess((out[0], np.asarray(out[1]), out[2]), np.asarray(out[1]), [img], [path], speed)
+            self.results = res
+            run_callbacks(self.callbacks, "on_predict_postprocess_end", self)
+            yield from res
+            run_callbacks(self.callbacks, "on_predict_batch_end", self)
+        run_callbacks(self.callbacks, "on_predict_end", self)
 
 
 class EnsemblePredictor(BasePredictor):
@@ -439,12 +460,21 @@ class ClassificationPredictor(BasePredictor):
         return np.ascontiguousarray(out[..., ::-1])
 
     def stream_inference(self, source, batch_size: int = 1):
+        from spectrogram_yolov11_tpu.utils.callbacks import run_callbacks
+
         if self._device_fn is None:
             self._device_fn = self._build_device_fn()
+        run_callbacks(self.callbacks, "on_predict_start", self)
         loader = load_inference_source(source, vid_stride=self.args.vid_stride)
         for path, img, _ in loader:
+            run_callbacks(self.callbacks, "on_predict_batch_start", self)
             probs = np.asarray(self._device_fn(self.variables, jnp.asarray(self.preprocess([img]))))[0]
-            yield Results(img, path, self.names, probs=probs)
+            res = Results(img, path, self.names, probs=probs)
+            self.results = [res]
+            run_callbacks(self.callbacks, "on_predict_postprocess_end", self)
+            yield res
+            run_callbacks(self.callbacks, "on_predict_batch_end", self)
+        run_callbacks(self.callbacks, "on_predict_end", self)
 
 
 class PosePredictor(BasePredictor):

@@ -20,7 +20,30 @@ from spectrogram_yolov11_tpu.ops.boxes import xyxy2xywh
 from spectrogram_yolov11_tpu.utils import SimpleClass
 
 
-class Boxes(SimpleClass):
+class _TensorCompat:
+    """Device-movement surface of the reference BaseTensor
+    (engine/results.py:22: cpu/numpy/cuda/to/shape). Our containers are plain
+    numpy — already off-device — so movement is the identity; the methods
+    exist so reference call sites (`r.boxes.cpu().numpy()`) run unchanged."""
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self
+
+    def cuda(self):  # no CUDA here; kept for drop-in source compat
+        return self
+
+    def to(self, *args, **kwargs):
+        return self
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+
+class Boxes(_TensorCompat, SimpleClass):
     """(n, 6) [x1, y1, x2, y2, conf, cls] in original-image pixels.
 
     `id` carries per-box track ids after `model.track()` (None otherwise) —
@@ -64,7 +87,7 @@ class Boxes(SimpleClass):
         return self.xywh / np.asarray([w, h, w, h], np.float32)
 
 
-class Masks(SimpleClass):
+class Masks(_TensorCompat, SimpleClass):
     """(n, H, W) binary masks at original-image resolution."""
 
     def __init__(self, data: np.ndarray, orig_shape):
@@ -84,7 +107,7 @@ class Masks(SimpleClass):
         return out
 
 
-class Keypoints(SimpleClass):
+class Keypoints(_TensorCompat, SimpleClass):
     """(n, K, 2|3) keypoints in original-image pixels."""
 
     def __init__(self, data: np.ndarray, orig_shape):
@@ -96,11 +119,16 @@ class Keypoints(SimpleClass):
         return self.data[..., :2]
 
     @property
+    def xyn(self):
+        h, w = self.orig_shape
+        return self.data[..., :2] / np.asarray([w, h], np.float32)
+
+    @property
     def conf(self):
         return self.data[..., 2] if self.data.shape[-1] == 3 else None
 
 
-class Probs(SimpleClass):
+class Probs(_TensorCompat, SimpleClass):
     """Classification probabilities (nc,)."""
 
     def __init__(self, data: np.ndarray):
@@ -123,7 +151,7 @@ class Probs(SimpleClass):
         return self.data[self.top5]
 
 
-class OBBoxes(SimpleClass):
+class OBBoxes(_TensorCompat, SimpleClass):
     """(n, 7) [cx, cy, w, h, angle, conf, cls] rotated boxes."""
 
     def __init__(self, data: np.ndarray, orig_shape):
@@ -151,6 +179,17 @@ class OBBoxes(SimpleClass):
         import jax.numpy as jnp
 
         return np.asarray(rbox2corners(jnp.asarray(self.data[:, :5])))
+
+    @property
+    def xyxyxyxyn(self):
+        h, w = self.orig_shape
+        return self.xyxyxyxy / np.asarray([w, h], np.float32)
+
+    @property
+    def xyxy(self):
+        """Axis-aligned hull of each rotated box (reference OBB.xyxy:1713)."""
+        c = self.xyxyxyxy.reshape(-1, 4, 2)
+        return np.concatenate([c.min(axis=1), c.max(axis=1)], axis=-1)
 
 
 _COLORS = np.array(
@@ -347,11 +386,63 @@ class Results(SimpleClass):
         finally:
             con.close()
 
+    def tojson(self, *args, **kwargs) -> str:
+        """Reference-name alias of to_json (engine/results.py:923)."""
+        return self.to_json()
+
     def cpu(self):
         return self
 
     def numpy(self):
         return self
 
+    def cuda(self):
+        return self
+
+    def to(self, *args, **kwargs):
+        return self
+
     def summary(self) -> list:
         return json.loads(self.to_json())
+
+    def new(self) -> "Results":
+        """Empty Results carrying the same image/path/names (reference
+        results.py:444) — the container trackers/update flows start from."""
+        return Results(self.orig_img, self.path, self.names, speed=self.speed)
+
+    def update(self, boxes: Optional[np.ndarray] = None, masks: Optional[np.ndarray] = None,
+               probs: Optional[np.ndarray] = None, obb: Optional[np.ndarray] = None,
+               keypoints: Optional[np.ndarray] = None) -> None:
+        """Replace detection tensors in place (reference results.py:416 —
+        the tracker uses this to write back track-filtered boxes)."""
+        if boxes is not None:
+            self.boxes = Boxes(np.asarray(boxes)[:, :6], self.orig_shape,
+                               ids=np.asarray(boxes)[:, 6] if np.asarray(boxes).shape[1] > 6 else None)
+        if masks is not None:
+            self.masks = Masks(masks, self.orig_shape)
+        if probs is not None:
+            self.probs = Probs(probs)
+        if obb is not None:
+            self.obb = OBBoxes(obb, self.orig_shape)
+        if keypoints is not None:
+            self.keypoints = Keypoints(keypoints, self.orig_shape)
+
+    def verbose(self) -> str:
+        """Log-line summary — '2 LTEs, 1 RF, ' (reference results.py:488)."""
+        if self.probs is not None:
+            return ", ".join(f"{self.names.get(i, i)} {self.probs.data[i]:.2f}" for i in self.probs.top5) + ", "
+        det = self.obb if self.obb is not None else self.boxes
+        if det is None or len(det) == 0:
+            return "(no detections), "
+        parts = []
+        for c in np.unique(det.cls.astype(int)):
+            n = int((det.cls.astype(int) == c).sum())
+            name = self.names.get(int(c), int(c))
+            parts.append(f"{n} {name}{'s' * (n > 1)}")
+        return ", ".join(parts) + ", "
+
+    def show(self, *args, **kwargs) -> None:
+        """Display the annotated image (reference results.py:455); needs a
+        GUI-capable OpenCV — headless builds raise cv2.error, surfaced as-is."""
+        cv2.imshow(str(Path(self.path).name), self.plot(*args, **kwargs))
+        cv2.waitKey(0)

@@ -83,6 +83,9 @@ class DetectionValidator:
         self.names = dict(getattr(model, "names", {}))
         self._device_fn = None
         self.data: Optional[dict] = None
+        # event hooks (reference validator runs on_val_{start,batch_*,end});
+        # YOLO._merge_callbacks forwards facade-registered callbacks here
+        self.callbacks: dict = {}
 
     # ------------- hooks ---------------------------------------------------
     def _build_device_fn(self):
@@ -246,6 +249,9 @@ class DetectionValidator:
 
     # ------------- the loop -------------------------------------------------
     def __call__(self, data: Optional[str | dict] = None) -> Dict[str, float]:
+        from spectrogram_yolov11_tpu.utils.callbacks import run_callbacks
+
+        run_callbacks(self.callbacks, "on_val_start", self)
         args = self.args
         if self.dataloader is None:
             self.data = check_det_dataset(data or args.data)
@@ -270,6 +276,7 @@ class DetectionValidator:
                 mesh = None
         n_img, t_infer = 0, 0.0
         for batch in TQDM(self.dataloader, desc="val"):
+            run_callbacks(self.callbacks, "on_val_batch_start", self)
             t0 = time.perf_counter()
             inputs = self._device_inputs(batch)
             if mesh is not None:
@@ -290,6 +297,7 @@ class DetectionValidator:
                 self._cur_im_file = files[n_img + i] if files else str(n_img + i)
                 self.update_stats(out, batch, i)
             n_img += bsz
+            run_callbacks(self.callbacks, "on_val_batch_end", self)
         self.metrics = self.get_metrics()
         self.metrics.speed["inference"] = t_infer / max(n_img, 1) * 1e3
         if args.plots:
@@ -303,6 +311,7 @@ class DetectionValidator:
             f"val[{self.task}]: {n_img} images  " + "  ".join(f"{v:.3f}" for v in res)
             + f"  ({t_infer / max(n_img, 1) * 1e3:.1f} ms/img device)"
         )
+        run_callbacks(self.callbacks, "on_val_end", self)
         return res_dict
 
 
@@ -595,12 +604,15 @@ class ClassificationValidator:
         self.variables = variables
         self.args = get_cfg(DEFAULT_CFG, overrides or {})
         self.imgsz = int(self.args.imgsz if isinstance(self.args.imgsz, int) else self.args.imgsz[0])
+        self.callbacks: dict = {}
 
     def __call__(self, data: Optional[str] = None) -> Dict[str, float]:
         from spectrogram_yolov11_tpu.data.dataset import ClassificationDataset
         from spectrogram_yolov11_tpu.data.build import DataLoader
+        from spectrogram_yolov11_tpu.utils.callbacks import run_callbacks
         from pathlib import Path
 
+        run_callbacks(self.callbacks, "on_val_start", self)
         root = Path(data or self.args.data)
         ds = ClassificationDataset(root / "val" if (root / "val").exists() else root, imgsz=self.imgsz)
         dl = DataLoader(ds, batch_size=int(self.args.batch), shuffle=False, drop_last=False)
@@ -623,4 +635,5 @@ class ClassificationValidator:
         m.process(np.concatenate(targets), np.concatenate(top5))
         self.metrics = m
         LOGGER.info(f"val[classify]: top1 {m.top1:.3f} top5 {m.top5:.3f}")
+        run_callbacks(self.callbacks, "on_val_end", self)
         return m.results_dict

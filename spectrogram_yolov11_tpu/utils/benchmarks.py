@@ -84,6 +84,64 @@ def benchmark(model=None, data: Optional[str] = None, imgsz: int = 640, half: bo
     return rows
 
 
+class RF100Benchmark:
+    """Multi-dataset mAP sweep (reference: benchmarks.py:201 RF100Benchmark).
+
+    The reference's class downloads the Roboflow-100 suite and scrapes its own
+    console log for per-dataset mAP. Zero-egress redesign: datasets are LOCAL
+    yamls listed one-per-line in a text file (`parse_dataset`), and `evaluate`
+    runs the real validator and records the metric directly — no log scraping.
+    `set_key` is kept for API compatibility (gated on the roboflow SDK, absent
+    in this image)."""
+
+    def __init__(self):
+        self.ds_names: List[str] = []
+        self.ds_cfg_list: List[Path] = []
+        self.rf = None
+        self.val_metrics = ["class", "images", "targets", "precision", "recall", "map50", "map95"]
+
+    def set_key(self, api_key: str):  # pragma: no cover - needs roboflow SDK
+        from roboflow import Roboflow  # gated optional dep (reference set_key)
+
+        self.rf = Roboflow(api_key=api_key)
+
+    def parse_dataset(self, ds_link_txt: str = "datasets_links.txt"):
+        """Read dataset yaml paths (one per line; '#' comments allowed)."""
+        self.ds_names, self.ds_cfg_list = [], []
+        for line in Path(ds_link_txt).read_text().splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            p = Path(line)
+            self.ds_names.append(p.stem)
+            self.ds_cfg_list.append(p)
+        return self.ds_names, self.ds_cfg_list
+
+    @staticmethod
+    def fix_yaml(path):
+        """Normalize a data yaml's split paths (reference fix_yaml)."""
+        from spectrogram_yolov11_tpu.utils import yaml_load, yaml_save
+
+        d = yaml_load(path)
+        d["train"] = "train/images"
+        d["val"] = "valid/images"
+        yaml_save(path, d)
+
+    def evaluate(self, yaml_path, val_log_file, eval_log_file, list_ind: int, model=None,
+                 imgsz: int = 640) -> float:
+        """Val `model` on one dataset; append 'name: mAP50' to the eval log."""
+        from spectrogram_yolov11_tpu.engine.model import YOLO
+
+        model = model or YOLO("yolo11n.yaml")
+        res = model.val(data=str(yaml_path), imgsz=imgsz, verbose=False, plots=False)
+        map50 = float(res.get("metrics/mAP50(B)", 0.0))
+        with open(val_log_file, "a") as f:
+            f.write(f"{self.ds_names[list_ind]}: {res}\n")
+        with open(eval_log_file, "a") as f:
+            f.write(f"{self.ds_names[list_ind]}: {map50}\n")
+        return map50
+
+
 class ProfileModels:
     """Latency profiler over artifacts (reference: benchmarks.py:336)."""
 

@@ -71,3 +71,46 @@ def test_save_txt_obb(tmp_path):
     parts = f.read_text().split()
     assert parts[0] == "1" and len(parts) == 1 + 8 + 1
     assert abs(float(parts[-1]) - 0.8) < 1e-6
+
+
+def test_basetensor_compat_surface():
+    """Reference BaseTensor surface: cpu/numpy/cuda/to are identities on our
+    numpy containers; shape mirrors .data (reference results.py:22-150)."""
+    r = _res()
+    b = r.boxes
+    assert b.cpu() is b and b.numpy() is b and b.cuda() is b and b.to("cpu") is b
+    assert b.shape == (2, 6)
+    assert r.cpu() is r and r.to() is r
+
+
+def test_results_update_new_verbose():
+    r = _res()
+    assert r.verbose() == "1 LTE, 1 RF, "
+    # tracker-style write-back with ids in column 6
+    det = np.array([[5, 5, 30, 30, 0.8, 0, 7]], np.float32)
+    r.update(boxes=det)
+    assert len(r) == 1 and r.boxes.id.tolist() == [7.0]
+    assert r.verbose() == "1 LTE, "
+    empty = r.new()
+    assert len(empty) == 0 and empty.path == r.path and empty.verbose() == "(no detections), "
+    assert r.tojson() == r.to_json()
+
+
+def test_keypoints_xyn_and_obb_normalized():
+    from spectrogram_yolov11_tpu.engine.results import Keypoints, OBBoxes
+
+    k = Keypoints(np.array([[[40.0, 20.0, 0.9]]], np.float32), (80, 160))
+    np.testing.assert_allclose(k.xyn, [[[0.25, 0.25]]])
+
+    # axis-aligned rbox: hull must equal the box corners
+    ob = OBBoxes(np.array([[50, 40, 20, 10, 0.0, 0.9, 1]], np.float32), (80, 160))
+    np.testing.assert_allclose(ob.xyxy, [[40, 35, 60, 45]], atol=1e-4)
+    n = ob.xyxyxyxyn
+    assert n.shape == (1, 4, 2) and n.max() <= 1.0
+
+
+def test_probs_verbose():
+    img = np.zeros((32, 32, 3), np.uint8)
+    r = Results(img, "x.jpg", {0: "a", 1: "b"}, probs=np.array([0.2, 0.8], np.float32))
+    v = r.verbose()
+    assert v.startswith("b 0.80") and "a 0.20" in v

@@ -157,8 +157,30 @@ class Exporter:
         save_dir.mkdir(parents=True, exist_ok=True)
         stem = Path(str(self.args.model or "model")).stem or "model"
         out = getattr(self, f"_export_{fmt}")(save_dir / stem)
+        if fmt in {"saved_model", "tflite", "onnx"}:
+            self._write_metadata(Path(out))
         LOGGER.info(f"Export complete: {out}")
         return str(out)
+
+    def _write_metadata(self, artifact: Path) -> None:
+        """Metadata sidecar for opaque TF-chain artifacts (the reference embeds
+        the same dict in every export, reference engine/exporter.py:1525
+        metadata yaml): task/nc/names/stride so AutoBackend and downstream
+        validators recover the task layout without the original model."""
+        from spectrogram_yolov11_tpu.utils import yaml_save
+
+        md = {
+            "task": self.model.task,
+            "nc": int(self.model.nc),
+            "names": {int(k): str(v) for k, v in getattr(self.model, "names", {}).items()},
+            "stride": [float(s) for s in self.model.stride],
+            "imgsz": self.imgsz,
+            "nms": bool(self.args.nms),
+        }
+        if getattr(self.model, "kpt_shape", None):
+            md["kpt_shape"] = [int(x) for x in self.model.kpt_shape]
+        dest = artifact / "metadata.yaml" if artifact.is_dir() else artifact.with_suffix(".metadata.yaml")
+        yaml_save(dest, md)
 
     def _export_ckpt(self, base: Path) -> Path:
         from spectrogram_yolov11_tpu.engine.checkpoint import save_checkpoint

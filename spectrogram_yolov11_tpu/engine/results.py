@@ -246,9 +246,10 @@ class Results(SimpleClass):
         )
 
     def plot(self, line_width: Optional[int] = None, font_scale: float = 0.5, show_conf: bool = True,
-             show_labels: bool = True) -> np.ndarray:
-        """Draw detections on a copy of the original (BGR) image."""
-        img = self.orig_img.copy()
+             show_labels: bool = True, img: Optional[np.ndarray] = None) -> np.ndarray:
+        """Draw detections on a copy of the original (BGR) image, or on `img`
+        (reference: engine/results.py Results.plot(img=...))."""
+        img = self.orig_img.copy() if img is None else img
         lw = line_width or max(round(sum(img.shape[:2]) / 2 * 0.003), 2)
         if self.masks is not None:
             overlay = img.copy()

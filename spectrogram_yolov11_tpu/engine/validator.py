@@ -370,10 +370,15 @@ class BackendValidator(DetectionValidator):
         self.backend = backend
         model = getattr(backend, "model", None)
         if model is None:
-            probe = int((overrides or {}).get("imgsz", 640))
-            out = np.asarray(backend.forward(np.zeros((1, probe, probe, 3), np.uint8)))
             meta = type("ArtifactMeta", (), {})()
-            meta.nc = int(out.shape[-1]) - 4
+            if getattr(backend, "nc", None):  # exporter metadata sidecar
+                meta.nc = int(backend.nc)
+            else:  # fall back to probing the artifact's output layout
+                probe = int((overrides or {}).get("imgsz", 640))
+                out = backend.forward(np.zeros((1, probe, probe, 3), np.uint8))
+                if isinstance(out, (tuple, list)):  # task tuples: boxes first
+                    out = out[0]
+                meta.nc = int(np.asarray(out).shape[-1]) - 4
             meta.names = dict(getattr(backend, "names", {}) or {}) or {i: str(i) for i in range(meta.nc)}
             meta.stride = np.asarray(getattr(backend, "stride", [8.0, 16.0, 32.0]))
             meta.end2end = False

@@ -21,6 +21,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _order_outs(outs):
+    """Normalize a TF-chain/ONNX artifact's output list: single output ->
+    array; multi-output task graphs (segment: preds + proto) -> tuple with
+    the rank-3 decoded-preds tensor first (the exporter's nms=False layout),
+    since TF/TFLite converters do not guarantee signature output order."""
+    if len(outs) == 1:
+        return jnp.asarray(outs[0])
+    ordered = sorted(outs, key=lambda r: np.asarray(r).ndim != 3)
+    return tuple(jnp.asarray(o) for o in ordered)
+
+
+def _load_metadata(path: str | Path) -> dict:
+    """Read the exporter's metadata sidecar (metadata.yaml inside a
+    saved_model dir, <stem>.metadata.yaml next to a .tflite/.onnx file) —
+    reference AutoBackend reads the same embedded dict (autobackend.py:54)."""
+    p = Path(path)
+    cand = p / "metadata.yaml" if p.is_dir() else p.with_suffix(".metadata.yaml")
+    if cand.exists():
+        from spectrogram_yolov11_tpu.utils import yaml_load
+
+        return yaml_load(cand)
+    return {}
+
+
 def _model_type(path: str) -> str:
     """Sniff the artifact kind from the path (reference: autobackend.py:777)."""
     s = str(path)
@@ -67,6 +91,7 @@ class AutoBackend:
             self.names = y.names
             self.stride = y.stride
             self.task = y.task
+            self.nc = y.model.nc
             # the SAME task-complete graph the Exporter serializes (nms=False
             # layout: decoded preds + per-task extras)
             fn = jax.jit(build_inference_fn(self.model, nms=False))
@@ -75,7 +100,13 @@ class AutoBackend:
             import tensorflow as tf
 
             self._tf = tf.saved_model.load(self.weights)
-            self._fn = lambda x: jnp.asarray(self._tf.f(np.asarray(x)))
+
+            def run_sm(x):
+                out = self._tf.f(np.asarray(x))
+                outs = list(out) if isinstance(out, (tuple, list)) else [out]
+                return _order_outs([np.asarray(o) for o in outs])
+
+            self._fn = run_sm
             self.task = "detect"
         elif self.kind == "tflite":
             import tensorflow as tf
@@ -85,10 +116,10 @@ class AutoBackend:
 
             def run(x):
                 inp = self._interp.get_input_details()[0]
-                out = self._interp.get_output_details()[0]
                 self._interp.set_tensor(inp["index"], np.asarray(x))
                 self._interp.invoke()
-                return jnp.asarray(self._interp.get_tensor(out["index"]))
+                outs = [self._interp.get_tensor(o["index"]) for o in self._interp.get_output_details()]
+                return _order_outs(outs)
 
             self._fn = run
             self.task = "detect"
@@ -116,10 +147,23 @@ class AutoBackend:
 
             self._sess = ort.InferenceSession(self.weights)
             name = self._sess.get_inputs()[0].name
-            self._fn = lambda x: jnp.asarray(self._sess.run(None, {name: np.asarray(x)})[0])
+            self._fn = lambda x: _order_outs(self._sess.run(None, {name: np.asarray(x)}))
             self.task = "detect"
         else:
             raise ValueError(f"unsupported weights: {weights}")
+
+        if self.kind in {"saved_model", "tflite", "onnx"}:
+            md = _load_metadata(self.weights)
+            if md:
+                self.task = str(md.get("task", self.task))
+                if md.get("names"):
+                    self.names = {int(k): str(v) for k, v in md["names"].items()}
+                if md.get("stride"):
+                    self.stride = np.asarray(md["stride"], np.float32)
+                if md.get("nc") is not None:
+                    self.nc = int(md["nc"])
+                if md.get("kpt_shape"):
+                    self.kpt_shape = tuple(int(x) for x in md["kpt_shape"])
 
     def forward(self, imgs_u8):
         return self._fn(imgs_u8)

@@ -1,7 +1,10 @@
-"""Python example scripts (examples/python/): standalone TFLite runner and
-track-then-classify action recognition.
+"""Python example scripts (examples/python/): standalone TFLite runner,
+standalone segmentation runner, region counter, and track-then-classify
+action recognition.
 
-Reference counterparts: examples/YOLOv8-TFLite-Python/main.py and
+Reference counterparts: examples/YOLOv8-TFLite-Python/main.py,
+examples/YOLOv8-Segmentation-ONNXRuntime-Python/main.py,
+examples/YOLOv8-Region-Counter/yolov8_region_counter.py and
 examples/YOLOv8-Action-Recognition/action_recognition.py."""
 
 import sys
@@ -76,6 +79,111 @@ def test_tflite_standalone_matches_autobackend(tmp_path):
     assert det.ndim == 2 and det.shape[1] == 6
     if len(det):
         assert (det[:, [0, 2]] <= 80).all() and (det[:, [1, 3]] <= 48).all()
+
+
+# -- segmentation_inference ---------------------------------------------------
+
+def test_seg_mask_pipeline_units():
+    """coeff @ proto -> sigmoid -> box-crop -> un-letterbox resolves a square
+    instance at the right place in original coords."""
+    from segmentation_inference import postprocess_seg
+
+    nc, nm, mh = 2, 4, 16  # proto at letterbox/4 (letterbox 64)
+    proto = np.zeros((mh, mh, nm), np.float32)
+    proto[4:12, 4:12, 0] = 8.0  # basis 0 lights an 8x8 proto square
+    preds = np.zeros((2, 4 + nc + nm), np.float32)
+    preds[0, :4] = [32, 32, 36, 36]          # box covering the square (letterbox px)
+    preds[0, 4:6] = [0.9, 0.1]
+    preds[0, 6] = 1.0                         # coeff selects basis 0
+    preds[1, :4] = [32, 32, 36, 36]           # low-conf duplicate -> gated
+    preds[1, 4:6] = [0.05, 0.02]
+    det, masks = postprocess_seg(preds, proto, conf=0.25, iou=0.45, nc=nc,
+                                 lb_hw=(64, 64), gain=1.0, pad=(0.0, 0.0), orig_hw=(64, 64))
+    assert det.shape == (1, 6) and int(det[0, 5]) == 0
+    assert masks.shape == (1, 64, 64)
+    # instance present inside the proto square (x4 upsampled), absent outside
+    assert masks[0, 32, 32] and not masks[0, 2, 2]
+    ys, xs = np.nonzero(masks[0])
+    assert 12 <= xs.min() and xs.max() <= 50
+
+
+def test_seg_crop_mask_matches_framework():
+    from segmentation_inference import crop_mask_np
+
+    from spectrogram_yolov11_tpu.ops.losses import crop_mask
+
+    rng = np.random.default_rng(0)
+    masks = rng.random((3, 16, 16)).astype(np.float32)
+    boxes = np.array([[2, 2, 10, 12], [0, 0, 16, 16], [5, 7, 6, 9]], np.float32)
+    np.testing.assert_allclose(crop_mask_np(masks, boxes), np.asarray(crop_mask(masks, boxes)))
+
+
+@pytest.mark.skipif(find_spec("tensorflow") is None, reason="tensorflow not installed")
+@pytest.mark.slow
+def test_seg_standalone_matches_autobackend(tmp_path):
+    """The standalone seg runner reads the same (preds, proto) the framework
+    backend produces from the artifact, and its masks live in original coords."""
+    from segmentation_inference import TFLiteYOLOSeg
+
+    from spectrogram_yolov11_tpu.engine.model import YOLO
+    from spectrogram_yolov11_tpu.nn.autobackend import AutoBackend
+
+    m = YOLO("yolo11n-seg.yaml")
+    m._ensure_variables()
+    path = m.export(format="tflite", save_dir=str(tmp_path), imgsz=64)
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (48, 80, 3)).astype(np.uint8)
+    runner = TFLiteYOLOSeg(str(path), nc=m.model.nc, conf=1e-4)
+    out = runner(img)
+    assert out["masks"].shape[1:] == (48, 80)
+    assert len(out["det"]) == len(out["segments"])
+
+    from tflite_inference import letterbox_u8
+
+    lb, _, _ = letterbox_u8(img, 64)
+    ref = AutoBackend(path).forward(lb[None, ..., ::-1])
+    preds_ref, proto_ref = (np.asarray(t) for t in ref)
+    runner.interp.set_tensor(runner.inp["index"], lb[None, ..., ::-1].astype(runner.inp["dtype"]))
+    runner.interp.invoke()
+    raw = [runner.interp.get_tensor(o["index"]) for o in runner.outs]
+    np.testing.assert_allclose(next(r for r in raw if r.ndim == 3), preds_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(next(r for r in raw if r.ndim == 4), proto_ref, rtol=1e-4, atol=1e-4)
+
+
+# -- region_counter -----------------------------------------------------------
+
+def test_point_in_polygon():
+    from region_counter import point_in_polygon
+
+    tri = np.array([(0, 0), (10, 0), (0, 10)], np.float32)
+    assert point_in_polygon(np.array([2, 2]), tri)
+    assert not point_in_polygon(np.array([8, 8]), tri)
+    assert not point_in_polygon(np.array([-1, 5]), tri)
+    rect = np.array([(200, 250), (440, 250), (440, 550), (200, 550)], np.float32)
+    assert point_in_polygon(np.array([300, 400]), rect)
+    assert not point_in_polygon(np.array([100, 400]), rect)
+
+
+def test_region_counter_counts_tracks():
+    """Track centers inside a region increment its count; counts reset each
+    frame; cls_filter drops the other class."""
+    from region_counter import count_regions
+
+    regions = [{"name": "r", "polygon": np.array([(0, 0), (64, 0), (64, 64), (0, 64)], np.float32),
+                "counts": 0, "dragging": False, "region_color": (255, 0, 0), "text_color": (0, 0, 0)}]
+    det = _FakeDetector()  # track 7 center (25, 35) in-region; track 9 center (60, 30) in-region, class 1
+    frames = [np.zeros((80, 96, 3), np.uint8) for _ in range(3)]
+    counts = [regs[0]["counts"] for _, regs in count_regions(det, frames, regions)]
+    assert counts == [2, 2, 2]
+    regions[0]["counts"] = 0
+    counts = [regs[0]["counts"]
+              for _, regs in count_regions(det, frames, regions, cls_filter=0)]
+    assert counts == [1, 1, 1]
+    # region moved away -> zero
+    regions[0]["polygon"] += 1000.0
+    counts = [regs[0]["counts"] for _, regs in count_regions(det, frames, regions)]
+    assert counts == [0, 0, 0]
 
 
 # -- action_recognition -------------------------------------------------------

@@ -49,9 +49,11 @@ vs_baseline anchors to the published T4-TensorRT10 yolo11n latency of
 win).
 
 Extra modes (not part of the headline JSON):
-  --train  scan-fenced full-train-step throughput sweep (ROUND3_NOTES §2)
-  --data   per-image host pipeline cost: augment vs plain vs collate
-  --serve  KServe-v2 HTTP serving throughput on localhost (serve.py)
+  --train    scan-fenced full-train-step throughput sweep (ROUND3_NOTES §2)
+  --data     per-image host pipeline cost: augment vs plain vs collate
+  --serve    KServe-v2 HTTP serving throughput on localhost (serve.py)
+  --latency  small-batch (bs1-8) per-image pipeline latency vs the 1.5 ms
+             T4-TRT bs1 anchor
 """
 
 from __future__ import annotations
@@ -295,7 +297,10 @@ def bench_serve() -> None:
     print(json.dumps({"metric": "KServe-v2 serving throughput (localhost HTTP)", "sweep": out}))
 
 
-def main() -> None:
+def _build_pipeline():
+    """Shared setup for main()/bench_latency(): trained weights + the ONE
+    jitted device pipeline (pad -> forward -> decode -> NMS) and the
+    letterbox geometry. Returns (device_fn, variables, tag, gray_ok, nh, nw)."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache"))
@@ -343,6 +348,71 @@ def main() -> None:
     # spectrogram frames are gray replicated into BGR: ship one channel when so
     probe = _load_frames(1)[0]
     gray_ok = bool((probe[..., 0] == probe[..., 1]).all() and (probe[..., 0] == probe[..., 2]).all())
+    return device_fn, variables, tag, gray_ok, nh, nw
+
+
+def _frame_batch(batch: int, gray_ok: bool, nh: int, nw: int) -> np.ndarray:
+    """Resized uint8 device-input batch from the val spectrograms."""
+    frames = _load_frames(batch)
+    xb = np.empty((batch, nh, nw, 1 if gray_ok else 3), np.uint8)
+    for i, f in enumerate(frames):
+        cv2.resize(f[..., 0] if gray_ok else f, (nw, nh),
+                   dst=xb[i, ..., 0] if gray_ok else xb[i], interpolation=cv2.INTER_LINEAR)
+    return xb
+
+
+def bench_latency() -> None:
+    """`python bench.py --latency`: small-batch per-image latency of the full
+    on-device pipeline (pad+normalize -> forward -> decode -> NMS). Each batch
+    size runs `reps` sequential pipeline executions inside ONE jitted lax.scan
+    (scan iterations are strictly ordered, so scan_time/reps IS the per-batch
+    latency, free of the dev tunnel's ~50 ms per-dispatch RTT), best of 5.
+    Anchor: the reference's published T4-TensorRT10 figure (1.5 ms/img,
+    docs/en/macros/yolo-det-perf.md:3) is a bs1 latency number — this mode is
+    the apples-to-apples comparison, while the headline JSON compares at the
+    throughput operating point. Not part of the headline JSON."""
+    import jax
+    import jax.numpy as jnp
+
+    device_fn, variables, tag, gray_ok, nh, nw = _build_pipeline()
+    out = {}
+    for bs in (1, 2, 4, 8):
+        # scale reps so total scan time >> the tunnel's ~50 ms dispatch RTT
+        # (at bs1 a 32-rep scan is ~55 ms — the RTT itself would dominate)
+        reps = max(128, 1024 // bs)
+        xd = jax.device_put(_frame_batch(bs, gray_ok, nh, nw))
+
+        @jax.jit
+        def scan_reps(variables, imgs_u8):
+            def body(acc, i):
+                imgs = imgs_u8.at[0, 0, 0, 0].set(i.astype(jnp.uint8))
+                det, nv = device_fn(variables, imgs)
+                return acc + det[0, 0, 0] + nv.astype(jnp.float32).sum(), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(reps))
+            return acc
+
+        float(scan_reps(variables, xd))  # compile + warm
+        best = 1e9
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(scan_reps(variables, xd))  # D2H fetch = true fence
+            best = min(best, (time.perf_counter() - t0) / reps)
+        out[f"bs{bs}"] = {"ms_per_batch": round(best * 1e3, 3),
+                          "ms_per_img": round(best * 1e3 / bs, 3)}
+        print(f"bs{bs}: {best*1e3:.3f} ms/batch = {best*1e3/bs:.3f} ms/img", flush=True)
+    print(json.dumps({
+        "metric": f"full-pipeline latency (ms/img), {tag} 640px bf16, scan-fenced",
+        "sweep": out,
+        "t4_trt10_anchor_ms": 1.5,
+    }))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    device_fn, variables, tag, gray_ok, nh, nw = _build_pipeline()
 
     results = {}
     for batch in BATCHES:
@@ -408,11 +478,7 @@ def main() -> None:
     reps = 16
 
     def measure_on_chip(batch: int) -> float:
-        frames = _load_frames(batch)
-        xb = np.empty((batch, nh, nw, 1 if gray_ok else 3), np.uint8)
-        for i, f in enumerate(frames):
-            cv2.resize(f[..., 0] if gray_ok else f, (nw, nh),
-                       dst=xb[i, ..., 0] if gray_ok else xb[i], interpolation=cv2.INTER_LINEAR)
+        xb = _frame_batch(batch, gray_ok, nh, nw)
 
         @jax.jit
         def scan_reps(variables, imgs_u8):
@@ -477,5 +543,7 @@ if __name__ == "__main__":
         bench_data()
     elif "--serve" in sys.argv:
         bench_serve()
+    elif "--latency" in sys.argv:
+        bench_latency()
     else:
         main()

@@ -225,6 +225,10 @@ def entrypoint(debug: str = "") -> Any:
         LOGGER.info(CLI_HELP_MSG)
         return None
 
+    from spectrogram_yolov11_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()  # CLI runs reuse compiled executables across invocations
+
     overrides: dict[str, Any] = {}
     task = mode = None
     kv: list[str] = []

@@ -217,6 +217,9 @@ class InferenceServer:
     def __init__(self, models: Union[str, Path, Dict[str, object]],
                  host: str = "127.0.0.1", port: int = 8000, data_parallel: bool = False,
                  half: bool = False):
+        from spectrogram_yolov11_tpu.utils import enable_compile_cache
+
+        enable_compile_cache()  # restarted servers skip the first-jit compile
         if not isinstance(models, dict):
             models = {None: models}
         self.models: Dict[str, _ModelRunner] = {}

@@ -265,6 +265,9 @@ class SettingsManager(dict):
             "weights_dir": str(REPO_ROOT / "weights"),
             "runs_dir": str(RUNS_DIR),
             "sync": False,  # no telemetry in this build (the reference ships Sentry; we don't)
+            # persistent XLA compile cache ('' disables); serving + CLI enable
+            # it so restarts skip the 15-100 s first-jit compile
+            "compile_cache": str(REPO_ROOT / ".jax_cache"),
         }
         super().__init__(self.defaults)
         try:
@@ -292,6 +295,24 @@ class SettingsManager(dict):
 
 
 SETTINGS = SettingsManager()  # singleton (reference: utils/__init__.py SETTINGS)
+
+
+def enable_compile_cache() -> None:
+    """Point jax at the persistent XLA compile cache from
+    SETTINGS['compile_cache'] ('' disables). A restarted server or CLI run
+    then reuses serialized executables instead of re-paying the 15-100 s
+    first-jit compile of the full model graph. Idempotent; safe to call
+    before or after jax is first used."""
+    path = str(SETTINGS.get("compile_cache") or "")
+    if not path:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # unknown flag on an old jax: cache is best-effort
+        LOGGER.debug(f"compile cache not enabled: {e}")
 
 
 DEFAULT_CFG_DICT: dict[str, Any] = {}

@@ -118,3 +118,15 @@ def test_val_callbacks_fire(tmp_path):
     y.add_callback("on_val_end", lambda v: seen.append("end"))
     y.val(data=str(tmp_path / "cls"), imgsz=64, batch=2, verbose=False)
     assert seen == ["start", "end"]
+
+
+def test_enable_compile_cache_sets_jax_flags():
+    """SETTINGS['compile_cache'] drives the persistent XLA compile cache used
+    by serving and the CLI (cold-restart skip of the first-jit compile)."""
+    import jax
+
+    from spectrogram_yolov11_tpu.utils import SETTINGS, enable_compile_cache
+
+    assert SETTINGS.get("compile_cache")
+    enable_compile_cache()
+    assert jax.config.jax_compilation_cache_dir == SETTINGS["compile_cache"]

@@ -107,3 +107,88 @@ def regularize_rboxes(rboxes):
     h_ = ns.where(swap, h, w)
     t = ns.where(swap, t, t + math.pi / 2) % math.pi
     return ns.stack([x, y, w_, h_, t], axis=-1)
+
+
+def xywhr2xyxyxyxy(x):
+    """(..., 5) cx cy w h angle(rad) -> (..., 4, 2) corner points (reference:
+    ops.py xywhr2xyxyxyxy:572). Works in the input's namespace (np or jnp)."""
+    ns = _ns(x)
+    ctr = x[..., :2]
+    w, h, angle = x[..., 2:3], x[..., 3:4], x[..., 4:5]
+    cos, sin = ns.cos(angle), ns.sin(angle)
+    vec1 = ns.concatenate([w / 2 * cos, w / 2 * sin], axis=-1)
+    vec2 = ns.concatenate([-h / 2 * sin, h / 2 * cos], axis=-1)
+    return ns.stack([ctr + vec1 + vec2, ctr + vec1 - vec2,
+                     ctr - vec1 - vec2, ctr - vec1 + vec2], axis=-2)
+
+
+def xyxyxyxy2xywhr(x):
+    """(n, 8) or (n, 4, 2) corner points -> (n, 5) cx cy w h angle(rad) via
+    min-area rects (reference: ops.py xyxyxyxy2xywhr:560 — cv2.minAreaRect is
+    the spec because augmented polygons may not be perfect rectangles).
+    Host-side numpy only."""
+    import cv2
+
+    pts = np.asarray(x, np.float32).reshape(len(x), -1, 2)
+    out = np.empty((len(pts), 5), np.float32)
+    for i, p in enumerate(pts):
+        (cx, cy), (w, h), ang = cv2.minAreaRect(p)
+        out[i] = (cx, cy, w, h, ang / 180 * np.pi)
+    return out
+
+
+def segment2box(segment, width: int = 640, height: int = 640):
+    """One (n, 2) polygon -> its xyxy box over the in-image points (reference:
+    ops.py segment2box:65, incl. the clip-first rule when >=3 sides overflow)."""
+    seg = np.asarray(segment)
+    x, y = seg[:, 0], seg[:, 1]
+    if int(x.min() < 0) + int(y.min() < 0) + int(x.max() > width) + int(y.max() > height) >= 3:
+        x, y = x.clip(0, width), y.clip(0, height)
+    inside = (x >= 0) & (y >= 0) & (x <= width) & (y <= height)
+    x, y = x[inside], y[inside]
+    if not len(x):
+        return np.zeros(4, dtype=seg.dtype)
+    return np.array([x.min(), y.min(), x.max(), y.max()], dtype=seg.dtype)
+
+
+def segments2boxes(segments):
+    """List of (n, 2) polygons -> (N, 4) xywh boxes (reference: ops.py
+    segments2boxes:660)."""
+    boxes = np.array([[s[:, 0].min(), s[:, 1].min(), s[:, 0].max(), s[:, 1].max()]
+                      for s in segments], np.float32).reshape(-1, 4)
+    return xyxy2xywh(boxes)
+
+
+def clip_coords(coords, shape: Tuple[int, int]):
+    """Clip (..., 2+) xy[+extras] coordinates to an image (h, w) (reference:
+    ops.py clip_coords:360). Pure (returns a new array; the torch reference
+    mutates); trailing channels (e.g. keypoint visibility) pass through."""
+    ns = _ns(coords)
+    xy = ns.stack([ns.clip(coords[..., 0], 0, shape[1]),
+                   ns.clip(coords[..., 1], 0, shape[0])], axis=-1)
+    return ns.concatenate([xy, coords[..., 2:]], axis=-1) if coords.shape[-1] > 2 else xy
+
+
+def scale_coords(img1_shape, coords, img0_shape, ratio_pad=None, normalize: bool = False,
+                 padding: bool = True):
+    """Un-letterbox (..., 2) xy coordinates from img1_shape to img0_shape
+    (reference: ops.py scale_coords:736 — keypoints/segment counterpart of
+    scale_boxes)."""
+    if ratio_pad is None:
+        gain = min(img1_shape[0] / img0_shape[0], img1_shape[1] / img0_shape[1])
+        pad = ((img1_shape[1] - img0_shape[1] * gain) / 2,
+               (img1_shape[0] - img0_shape[0] * gain) / 2)
+    else:
+        gain, pad = ratio_pad[0][0], ratio_pad[1]
+    ns = _ns(coords)
+    xy = coords[..., :2]
+    if padding:
+        xy = xy - ns.asarray([pad[0], pad[1]], coords.dtype)
+    xy = xy / gain
+    out = ns.concatenate([xy, coords[..., 2:]], axis=-1) if coords.shape[-1] > 2 else xy
+    out = clip_coords(out, img0_shape)
+    if normalize:
+        scale = ns.asarray([img0_shape[1], img0_shape[0]], coords.dtype)
+        out = ns.concatenate([out[..., :2] / scale, out[..., 2:]], axis=-1) \
+            if coords.shape[-1] > 2 else out / scale
+    return out

@@ -130,3 +130,19 @@ def kpt_iou(kpt1: jnp.ndarray, kpt2: jnp.ndarray, area: jnp.ndarray, sigma, eps:
     e = d / ((2 * sigma) ** 2) / (area[:, None, None] + eps) / 2
     oks = jnp.exp(-e) * kpt_mask[:, None]
     return oks.sum(-1) / (kpt_mask.sum(-1)[:, None] + eps)
+
+
+def bbox_ioa(box1, box2, iou: bool = False, eps: float = 1e-7):
+    """Intersection over box2 area, (n, 4) x (m, 4) xyxy -> (n, m); with
+    iou=True this is standard pairwise IoU (reference: utils/metrics.py
+    bbox_ioa:20 — used by CopyPaste occlusion filtering). Numpy host-side."""
+    import numpy as np
+
+    b1 = np.asarray(box1, np.float32).T
+    b2 = np.asarray(box2, np.float32).T
+    inter = (np.minimum(b1[2][:, None], b2[2]) - np.maximum(b1[0][:, None], b2[0])).clip(0) * \
+            (np.minimum(b1[3][:, None], b2[3]) - np.maximum(b1[1][:, None], b2[1])).clip(0)
+    area = (b2[2] - b2[0]) * (b2[3] - b2[1])
+    if iou:
+        area = area + ((b1[2] - b1[0]) * (b1[3] - b1[1]))[:, None] - inter
+    return inter / (area + eps)

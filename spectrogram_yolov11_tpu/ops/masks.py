@@ -1,0 +1,100 @@
+"""Host-side mask utilities (numpy/cv2) — the public counterparts of the
+reference's mask pipeline (/root/reference/ultralytics/utils/ops.py:
+process_mask:679, process_mask_native:712, scale_masks:732, scale_image:605,
+crop_mask:660).
+
+The jitted production paths keep their own fused implementations (segment
+exporter graph, SegmentationValidator, Results); these functions serve user
+code that post-processes raw (proto, coeff) outputs on host. Protos are HWC
+(mh, mw, nm) — the TPU-native layout this framework emits everywhere — where
+the reference uses CHW.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def crop_mask(masks: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """Zero mask pixels outside each box: (n, h, w) x (n, 4 xyxy in mask
+    coords) -> (n, h, w)."""
+    n, h, w = masks.shape
+    r = np.arange(w, dtype=np.float32)[None, None, :]
+    c = np.arange(h, dtype=np.float32)[None, :, None]
+    x1, y1, x2, y2 = (boxes[:, i].reshape(-1, 1, 1) for i in range(4))
+    return masks * ((r >= x1) & (r < x2) & (c >= y1) & (c < y2))
+
+
+def process_mask(protos: np.ndarray, masks_in: np.ndarray, bboxes: np.ndarray,
+                 shape: Tuple[int, int], upsample: bool = False) -> np.ndarray:
+    """proto (mh, mw, nm) + NMS-surviving coeffs (n, nm) + boxes (n, 4 xyxy in
+    input-image pixels) -> boolean masks (n, mh, mw), or (n, *shape) when
+    `upsample`. Mirrors reference process_mask: crop at proto resolution,
+    then optionally upsample."""
+    import cv2
+
+    mh, mw, nm = protos.shape
+    masks = (masks_in.astype(np.float32) @ protos.reshape(-1, nm).T.astype(np.float32))
+    masks = masks.reshape(-1, mh, mw)
+    scale = np.array([mw / shape[1], mh / shape[0], mw / shape[1], mh / shape[0]], np.float32)
+    masks = crop_mask(masks, bboxes * scale)
+    if upsample:
+        up = np.empty((len(masks), *shape), np.float32)
+        for i, m in enumerate(masks):
+            up[i] = cv2.resize(m, (shape[1], shape[0]), interpolation=cv2.INTER_LINEAR)
+        masks = up
+    return masks > 0.0
+
+
+def process_mask_native(protos: np.ndarray, masks_in: np.ndarray, bboxes: np.ndarray,
+                        shape: Tuple[int, int]) -> np.ndarray:
+    """Like process_mask but upsample FIRST (un-letterboxed), then crop at
+    full resolution — the higher-quality path (reference
+    process_mask_native:712)."""
+    mh, mw, nm = protos.shape
+    masks = (masks_in.astype(np.float32) @ protos.reshape(-1, nm).T.astype(np.float32))
+    masks = masks.reshape(-1, mh, mw)
+    masks = scale_masks(masks, shape)
+    return crop_mask(masks, bboxes) > 0.0
+
+
+def scale_masks(masks: np.ndarray, shape: Tuple[int, int], padding: bool = True) -> np.ndarray:
+    """Rescale (n, h, w) masks to `shape`, removing letterbox padding first
+    when `padding` (reference scale_masks:732)."""
+    import cv2
+
+    mh, mw = masks.shape[1:]
+    gain = min(mh / shape[0], mw / shape[1])
+    pad_w, pad_h = mw - shape[1] * gain, mh - shape[0] * gain
+    if padding:
+        pad_w, pad_h = pad_w / 2, pad_h / 2
+    top, left = (int(pad_h), int(pad_w)) if padding else (0, 0)
+    bottom, right = int(mh - pad_h), int(mw - pad_w)
+    out = np.empty((len(masks), *shape), masks.dtype if masks.dtype == np.float32 else np.float32)
+    for i, m in enumerate(masks):
+        out[i] = cv2.resize(m[top:bottom, left:right].astype(np.float32),
+                            (shape[1], shape[0]), interpolation=cv2.INTER_LINEAR)
+    return out
+
+
+def scale_image(masks: np.ndarray, im0_shape: Tuple[int, int], ratio_pad=None) -> np.ndarray:
+    """Un-letterbox an (h, w, c) image/mask plane back to the original image
+    shape (reference scale_image:605)."""
+    import cv2
+
+    im1_shape = masks.shape
+    if im1_shape[:2] == tuple(im0_shape[:2]):
+        return masks
+    if ratio_pad is None:
+        gain = min(im1_shape[0] / im0_shape[0], im1_shape[1] / im0_shape[1])
+        pad = (im1_shape[1] - im0_shape[1] * gain) / 2, (im1_shape[0] - im0_shape[0] * gain) / 2
+    else:
+        pad = ratio_pad[1]
+    if masks.ndim < 2:
+        raise ValueError(f"masks must be 2- or 3-dimensional, got {masks.ndim}")
+    top, left = int(pad[1]), int(pad[0])
+    bottom, right = int(im1_shape[0] - pad[1]), int(im1_shape[1] - pad[0])
+    masks = cv2.resize(masks[top:bottom, left:right], (im0_shape[1], im0_shape[0]))
+    return masks[:, :, None] if masks.ndim == 2 else masks

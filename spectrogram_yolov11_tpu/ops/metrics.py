@@ -367,3 +367,9 @@ class ConfusionMatrix:
         for i, dc in enumerate(det_classes):
             if not (n and (m1 == i).any()):
                 self.matrix[dc, self.nc] += 1
+
+
+def smooth_bce(eps: float = 0.1) -> Tuple[float, float]:
+    """Label-smoothing BCE targets (positive, negative) (reference:
+    utils/loss smooth_BCE; https://arxiv.org/pdf/1902.04103.pdf eqn 3)."""
+    return 1.0 - 0.5 * eps, 0.5 * eps

@@ -297,6 +297,116 @@ class SettingsManager(dict):
 SETTINGS = SettingsManager()  # singleton (reference: utils/__init__.py SETTINGS)
 
 
+def clean_str(s: str) -> str:
+    """Replace shell/URL-hostile special characters with '_' (reference:
+    utils/ops.py clean_str:853 — used for stream-source save names)."""
+    import re
+
+    return re.sub(r"[|@#!¡·$€%&()=?¿^*;:,¨´><+]", "_", s)
+
+
+class TryExcept:
+    """`@TryExcept()` decorator / `with TryExcept():` context manager that
+    swallows exceptions and logs them (reference: utils/__init__.py:916)."""
+
+    def __init__(self, msg: str = "", verbose: bool = True):
+        self.msg, self.verbose = msg, verbose
+
+    def __call__(self, func):
+        import functools
+
+        @functools.wraps(func)
+        def wrapped(*args, **kwargs):
+            with self:
+                return func(*args, **kwargs)
+
+        return wrapped
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, value, tb) -> bool:
+        if self.verbose and value:
+            LOGGER.warning(f"{self.msg}{': ' if self.msg else ''}{value}")
+        return True
+
+
+class Retry:
+    """`@Retry(times, delay)` decorator: retry on exception with exponential
+    backoff (reference: utils/__init__.py:949)."""
+
+    def __init__(self, times: int = 3, delay: int = 2):
+        self.times, self.delay = times, delay
+
+    def __call__(self, func):
+        import functools
+        import time as _time
+
+        @functools.wraps(func)
+        def wrapped(*args, **kwargs):
+            for attempt in range(self.times):
+                try:
+                    return func(*args, **kwargs)
+                except Exception as e:
+                    if attempt == self.times - 1:
+                        raise
+                    LOGGER.warning(f"Retry {attempt + 1}/{self.times} after {e}")
+                    _time.sleep(self.delay * 2 ** attempt)
+
+        return wrapped
+
+
+class ThreadingLocked:
+    """`@ThreadingLocked()` decorator: serialize concurrent calls through one
+    lock (reference: utils/__init__.py:421)."""
+
+    def __init__(self):
+        import threading
+
+        self.lock = threading.Lock()
+
+    def __call__(self, func):
+        import functools
+
+        @functools.wraps(func)
+        def wrapped(*args, **kwargs):
+            with self.lock:
+                return func(*args, **kwargs)
+
+        return wrapped
+
+
+def plt_settings(rcparams: dict | None = None, backend: str = "Agg"):
+    """Decorator that runs a plotting function under temporary matplotlib
+    rcParams + backend, restoring both after (reference:
+    utils/__init__.py:303)."""
+    rcparams = rcparams or {"font.size": 11}
+
+    def decorator(func):
+        import functools
+
+        @functools.wraps(func)
+        def wrapped(*args, **kwargs):
+            import matplotlib.pyplot as plt
+
+            original = plt.get_backend()
+            switch = backend.lower() != original.lower()
+            if switch:
+                plt.close("all")
+                plt.switch_backend(backend)
+            try:
+                with plt.rc_context(rcparams):
+                    return func(*args, **kwargs)
+            finally:
+                if switch:
+                    plt.close("all")
+                    plt.switch_backend(original)
+
+        return wrapped
+
+    return decorator
+
+
 def enable_compile_cache() -> None:
     """Point jax at the persistent XLA compile cache from
     SETTINGS['compile_cache'] ('' disables). A restarted server or CLI run

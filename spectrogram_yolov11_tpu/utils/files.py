@@ -1,0 +1,80 @@
+"""File/path helpers (reference: ultralytics/utils/files.py).
+
+`increment_path` and `get_latest_run` live in the package root utils and are
+re-exported here so reference-style imports keep working.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import shutil
+import tempfile
+from datetime import datetime
+from pathlib import Path
+
+from spectrogram_yolov11_tpu.utils import get_latest_run, increment_path  # noqa: F401
+
+
+class WorkingDirectory(contextlib.ContextDecorator):
+    """Temporarily chdir into `new_dir` as a context manager or decorator
+    (reference: files.py:13)."""
+
+    def __init__(self, new_dir: str | Path):
+        self.dir = new_dir
+        self.cwd = Path.cwd().resolve()
+
+    def __enter__(self):
+        os.chdir(self.dir)
+
+    def __exit__(self, exc_type, exc, tb):
+        os.chdir(self.cwd)
+
+
+@contextlib.contextmanager
+def spaces_in_path(path: str | Path):
+    """If `path` contains spaces, copy it to a space-free temp path for the
+    block's duration and copy it back after (reference: files.py:56 — some
+    external toolchains choke on spaced paths)."""
+    if " " not in str(path):
+        yield path
+        return
+    was_str = isinstance(path, str)
+    path = Path(path)
+    with tempfile.TemporaryDirectory() as tmp:
+        tmp_path = Path(tmp) / path.name.replace(" ", "_")
+        if path.is_dir():
+            shutil.copytree(path, tmp_path)
+        elif path.is_file():
+            tmp_path.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copy2(path, tmp_path)
+        try:
+            yield str(tmp_path) if was_str else tmp_path
+        finally:
+            if tmp_path.is_dir():
+                shutil.copytree(tmp_path, path, dirs_exist_ok=True)
+            elif tmp_path.is_file():
+                shutil.copy2(tmp_path, path)
+
+
+def file_age(path: str | Path = __file__) -> int:
+    """Days since the last modification of `path` (reference: files.py:156)."""
+    dt = datetime.now() - datetime.fromtimestamp(Path(path).stat().st_mtime)
+    return dt.days
+
+
+def file_date(path: str | Path = __file__) -> str:
+    """Modification date as 'YYYY-M-D' (reference: files.py:162)."""
+    t = datetime.fromtimestamp(Path(path).stat().st_mtime)
+    return f"{t.year}-{t.month}-{t.day}"
+
+
+def file_size(path: str | Path) -> float:
+    """Size of a file or directory tree in MiB (reference: files.py:168)."""
+    mb = 1 << 20
+    p = Path(path)
+    if p.is_file():
+        return p.stat().st_size / mb
+    if p.is_dir():
+        return sum(f.stat().st_size for f in p.glob("**/*") if f.is_file()) / mb
+    return 0.0

@@ -140,6 +140,7 @@ class YOLODataset:
             max_gt = int(min(128, max(32, -(-int(per_img * 1.1) // 8) * 8)))
         self.max_gt = max_gt
         self.cache_ram = cache in (True, "ram")
+        self.cache_disk = cache == "disk"
         self._im_cache: Dict[int, np.ndarray] = {}
         from .augment import TrainTransform, ValTransform
 
@@ -293,11 +294,24 @@ class YOLODataset:
     def load_image(self, i: int) -> np.ndarray:
         if self.cache_ram and i in self._im_cache:
             return self._im_cache[i]
+        if self.cache_disk:  # decoded-image .npy sidecar (reference: base.py:189 cache='disk')
+            npy = Path(self.im_files[i]).with_suffix(".npy")
+            if npy.exists():
+                try:
+                    return np.load(npy)
+                except (OSError, ValueError):  # truncated sidecar: fall through and rewrite
+                    pass
         img = cv2.imread(self.im_files[i])  # BGR HWC
         if img is None:
             raise FileNotFoundError(f"image not found / unreadable: {self.im_files[i]}")
         if self.cache_ram:
             self._im_cache[i] = img
+        elif self.cache_disk:
+            try:
+                np.save(Path(self.im_files[i]).with_suffix(".npy"), img)
+            except OSError as e:  # read-only dataset dir: keep running uncached
+                LOGGER.warning(f"disk cache write failed ({e}); continuing uncached")
+                self.cache_disk = False
         return img
 
     def load_sample(self, i: int, square_to: Optional[int] = None) -> Dict:

@@ -141,3 +141,26 @@ def test_grounding_trainer_smoke(tmp_path):
     ))
     t.train()
     assert np.isfinite(list(t.label_loss.values())).all()
+
+
+def test_disk_cache_sidecars(tmp_path):
+    """cache='disk' stores decoded .npy sidecars and reloads from them
+    (reference: data/base.py:189 cache_images disk mode)."""
+    import shutil
+    from pathlib import Path
+
+    data = check_det_dataset("shapes128.yaml")
+    src = Path(data["val"])
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    img_dir.mkdir(), lbl_dir.mkdir()
+    for f in sorted(src.glob("*.jpg"))[:2]:
+        shutil.copy2(f, img_dir / f.name)
+        lbl = Path(str(f).replace("images", "labels")).with_suffix(".txt")
+        if lbl.exists():
+            shutil.copy2(lbl, lbl_dir / lbl.name)
+    ds = YOLODataset(str(img_dir), imgsz=96, augment=False, nc=data["nc"], max_gt=16, cache="disk")
+    a = ds.load_image(0)
+    assert (img_dir / Path(ds.im_files[0]).with_suffix(".npy").name).exists()
+    b = ds.load_image(0)  # second load comes from the sidecar
+    np.testing.assert_array_equal(a, b)

@@ -77,6 +77,7 @@ def emit(d: dict, src_name: str, out_path: Path) -> None:
 
 def main() -> int:
     count = 0
+    # fork experiment families (land under <family>/fork/)
     for sub, out_sub in (("11", "11/fork"), ("v10", "v10/fork")):
         for f in sorted((REFERENCE / sub).glob("*.yaml")):
             if f.name in CURATED or f.name in BROKEN:
@@ -84,7 +85,16 @@ def main() -> int:
             d = yaml.safe_load(f.read_text())
             emit(d, f.name, OUT / out_sub / f.name)
             count += 1
-    print(f"materialized {count} fork configs")
+    # stock model families (land directly under <family>/); curated files
+    # already hand-written here are left alone
+    for sub in ("v3", "v5", "v6", "v8", "v9", "rt-detr"):
+        for f in sorted((REFERENCE / sub).glob("*.yaml")):
+            if f.name in BROKEN or (OUT / sub / f.name).exists():
+                continue
+            d = yaml.safe_load(f.read_text())
+            emit(d, f.name, OUT / sub / f.name)
+            count += 1
+    print(f"materialized {count} configs")
     return count
 
 

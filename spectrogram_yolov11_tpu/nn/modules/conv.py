@@ -51,10 +51,35 @@ ACTS: dict[str, Callable] = {
 }
 
 
-def get_act(act: Union[bool, str, Callable], default: str = "silu") -> Callable:
+_DEFAULT_ACT = {"name": "silu"}
+
+
+def resolve_act_name(name) -> Optional[str]:
+    """Map an activation spec (our registry key or a torch spelling like
+    'nn.ReLU()') to an ACTS key; None when unknown/empty."""
+    if not name:
+        return None
+    key = str(name).lower().removeprefix("nn.").split("(")[0]
+    return key if key in ACTS else None
+
+
+def set_default_act(name: str) -> bool:
+    """Override the graph-wide default activation (reference: parse_model
+    evals the yaml 'activation:' key into Conv.default_act, nn/tasks.py:980 —
+    a class-level global there; here YOLOGraph re-pins it at every trace so
+    models with different defaults can interleave). Returns False (and
+    leaves the default) for unknown names."""
+    key = resolve_act_name(name)
+    if key is None:
+        return False
+    _DEFAULT_ACT["name"] = key
+    return True
+
+
+def get_act(act: Union[bool, str, Callable], default: str = "") -> Callable:
     """Resolve an activation spec: True -> module default, False/None -> identity, str -> registry."""
     if act is True:
-        return ACTS[default]
+        return ACTS[default or _DEFAULT_ACT["name"]]
     if act in (False, None):
         return ACTS["identity"]
     if callable(act):
@@ -546,3 +571,33 @@ def adaptive_avg_pool2d(x, out=1):
     if out == 1:
         return jnp.mean(x, axis=(1, 2), keepdims=True)
     raise NotImplementedError
+
+
+class ZeroPad2d(nn.Module):
+    """nn.ZeroPad2d: zero-pad H/W by (left, right, top, bottom) — used by
+    yolov3-tiny.yaml:26 ahead of its stride-1 MaxPool."""
+
+    padding: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        l, r, t, b = self.padding
+        return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
+
+
+class TorchConvTranspose2d(nn.Module):
+    """Raw transposed conv (bias, no BN/act) — the reference registers torch's
+    nn.ConvTranspose2d as a parse_model base module (nn/tasks.py:1037); used
+    by yolov6.yaml's upsample stages."""
+
+    c1: int
+    c2: int
+    k: int = 2
+    s: int = 2
+    p: int = 0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return conv_transpose2d(x, self.c2, self.k, self.s, self.p, bias=True,
+                                dtype=self.dtype, name="conv_transpose")

@@ -95,6 +95,8 @@ MODULE_REGISTRY: Dict[str, Any] = {
     # torch-namespace passthroughs
     "nn.Upsample": M.Upsample,
     "nn.MaxPool2d": M.MaxPool2d,
+    "nn.ZeroPad2d": M.ZeroPad2d,
+    "nn.ConvTranspose2d": M.TorchConvTranspose2d,
     "nn.Identity": None,  # handled inline
     # transformer family (RT-DETR)
     "AIFI": M.AIFI,
@@ -177,6 +179,7 @@ BASE_MODULES = {
     M.FilterMaxConv, M.MaxConvHCA, M.C3k2GC, M.C3MSCk2, M.XCBAM2C2f, M.CoordAtt, M.HCoordAtt,
     M.MaxHCoordAtt, M.AKCBAM, M.C3GC,
     M.QARepVGG, M.NASStage, M.NASCSP, M.NASReduce, M.NASDown, M.NASUpsample,
+    M.TorchConvTranspose2d,
 }
 REPEAT_MODULES = {
     M.BottleneckCSP, M.C1, M.C2, M.C2f, M.C3k2, M.C3, M.C3Ghost, M.C3TR, M.C3x, M.RepC3, M.C2fPSA,
@@ -241,6 +244,13 @@ def parse_model(d: dict, ch: int, verbose: bool = True) -> Tuple[List[LayerSpec]
             scale = tuple(scales.keys())[0]
             LOGGER.warning(f"WARNING: no model scale passed. Assuming scale='{scale}'.")
         depth, width, max_channels = scales[scale]
+
+    if act:  # yaml 'activation:' key, e.g. yolov6.yaml 'nn.ReLU()' — resolved
+        # into YOLOGraph.default_act (pinned per trace); unknown names warn here
+        from spectrogram_yolov11_tpu.nn.modules.conv import resolve_act_name
+
+        if resolve_act_name(act) is None:
+            LOGGER.warning(f"unknown activation '{act}' in model yaml; keeping default")
 
     if verbose:
         LOGGER.info(f"{'':>3}{'from':>20}{'n':>3}  {'module':<45}{'arguments':<30}")
@@ -347,7 +357,7 @@ def parse_model(d: dict, ch: int, verbose: bool = True) -> Tuple[List[LayerSpec]
                 kwargs["legacy"] = False
                 kwargs["end2end"] = True
             c2 = None
-        elif cls is M.Upsample or cls is M.MaxPool2d or cls is None:
+        elif cls is M.Upsample or cls is M.MaxPool2d or cls is M.ZeroPad2d or cls is None:
             c2 = ch_list[f]
         else:
             c2 = ch_list[f]
@@ -374,6 +384,7 @@ class YOLOGraph(nn.Module):
     specs: Tuple[LayerSpec, ...]
     save: Tuple[int, ...]
     dtype: Optional[Any] = None
+    default_act: str = "silu"
 
     def setup(self):
         layers = []
@@ -395,6 +406,12 @@ class YOLOGraph(nn.Module):
         the reference WorldModel.predict (nn/tasks.py:684-688): C2fAttn is
         guided by the running text, ImagePoolingAttn refines it, WorldDetect
         scores against the ORIGINAL text."""
+        # pin the graph-wide default activation for THIS trace (yaml
+        # 'activation:' key) so interleaved builds/retraces of models with
+        # different defaults stay correct
+        from spectrogram_yolov11_tpu.nn.modules.conv import set_default_act
+
+        set_default_act(self.default_act)
         y: List[Any] = []
         embeddings = []
         last = len(self.specs) - 1
@@ -482,7 +499,11 @@ class BaseModel:
         self.ch = ch
         self.dtype = dtype
         self.specs, self.save, self.ch_list = parse_model(dict(self.yaml), ch, verbose=verbose)
-        self.graph = YOLOGraph(specs=tuple(self.specs), save=tuple(self.save), dtype=dtype)
+        from spectrogram_yolov11_tpu.nn.modules.conv import resolve_act_name
+
+        self.default_act = resolve_act_name(self.yaml.get("activation")) or "silu"
+        self.graph = YOLOGraph(specs=tuple(self.specs), save=tuple(self.save), dtype=dtype,
+                               default_act=self.default_act)
         self.names = {i: f"{i}" for i in range(self.nc)}
         self.head_spec = self.specs[-1]
         self.end2end = bool(dict(self.head_spec.kwargs).get("end2end", False))
@@ -495,7 +516,8 @@ class BaseModel:
         variables keep working — only the traced compute changes."""
         if dtype != self.dtype:
             self.dtype = dtype
-            self.graph = YOLOGraph(specs=tuple(self.specs), save=tuple(self.save), dtype=dtype)
+            self.graph = YOLOGraph(specs=tuple(self.specs), save=tuple(self.save), dtype=dtype,
+                                   default_act=getattr(self, "default_act", "silu"))
         return self
 
     # -- shape/stride calibration (reference: nn/tasks.py:354 dummy forward) --

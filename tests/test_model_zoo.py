@@ -86,6 +86,9 @@ NUMERIC_SAMPLE = [
     "yolo11_SMSC.yaml",              # C3MSCk2 / DenseCross (scale l)
     "yolo11_lightsand2_new.yaml",    # LightBottleneck sandglass
     "yolo11-cls-resnet18.yaml",      # TorchVision resnet stand-in
+    "yolov6.yaml",                   # yaml activation override (nn.ReLU) + nn.ConvTranspose2d
+    "yolov3-tiny.yaml",              # nn.ZeroPad2d + stride-1 MaxPool
+    "rtdetr-resnet50.yaml",          # ResNetLayer backbone under RTDETRDecoder
 ]
 
 

@@ -62,9 +62,13 @@ def check_det_dataset(data: str | Path | dict) -> dict:
     data["path"] = root
     for k in ("train", "val", "test"):
         if data.get(k):
-            p = Path(data[k])
-            data[k] = str(p if p.is_absolute() else root / p)
-    if data.get("val") and not Path(data["val"]).exists():
+            if isinstance(data[k], (list, tuple)):  # list-of-dirs surface (VOC.yaml, yolo_params.yaml)
+                data[k] = [str(p if (p := Path(e)).is_absolute() else root / p) for e in data[k]]
+            else:
+                p = Path(data[k])
+                data[k] = str(p if p.is_absolute() else root / p)
+    val0 = data["val"][0] if isinstance(data.get("val"), (list, tuple)) else data.get("val")
+    if val0 and not Path(val0).exists():
         # synthetic datasets materialize on first use (data/synth.py)
         from spectrogram_yolov11_tpu.data.synth import maybe_generate
 
@@ -77,11 +81,30 @@ def check_cls_dataset(data: str | Path) -> dict:
     """Resolve/validate a folder-per-class classification dataset
     (reference: data/utils.py:394 check_cls_dataset).
 
-    Accepts an absolute path or a name under the settings datasets_dir.
-    Missing datasets are synthesized (shapes classes) instead of downloaded —
-    zero-egress build. Returns {train, val, nc, names}.
+    Accepts an absolute path, a name under the settings datasets_dir, or a
+    dataset yaml (reference surface: `task=classify data=ImageNet.yaml`) whose
+    `names` fixes the class-folder schema. Missing datasets are synthesized
+    (shapes classes) instead of downloaded — zero-egress build.
+    Returns {train, val, nc, names}.
     """
     from spectrogram_yolov11_tpu.utils import LOGGER, SETTINGS
+
+    if str(data).endswith((".yaml", ".yml")):
+        spec = yaml_load(find_dataset_yaml(data), append_filename=True)
+        root = Path(spec.get("path") or ".")
+        if not root.is_absolute():
+            root = (Path(spec["yaml_file"]).parent / root).resolve()
+        if not (root / str(spec.get("train", "train"))).exists():
+            names = spec.get("names")
+            names = [names[k] for k in sorted(names)] if isinstance(names, dict) else list(names)
+            npc = int(spec.get("n_per_class", 2))
+            imgsz = int(spec.get("gen_imgsz", 160))
+            from spectrogram_yolov11_tpu.data.synth import gen_cls_shapes
+
+            LOGGER.info(f"Generating synthetic classification stand-in at {root} ({len(names)} classes)...")
+            gen_cls_shapes(root, str(spec.get("train", "train")), npc, imgsz, names=names)
+            gen_cls_shapes(root, str(spec.get("val", "val")), max(1, npc // 2), imgsz, seed=10_000, names=names)
+        data = root
 
     root = Path(data)
     if not root.is_absolute() and not root.exists():
@@ -120,7 +143,9 @@ class YOLODataset:
         mask_ratio: int = 4,
         device_augment: bool = False,
     ):
-        self.img_path = Path(img_path)
+        # reference surface (data/base.py get_img_files): img_path may be one
+        # dir, a .txt file list, or a LIST of dirs (VOC.yaml, yolo_params.yaml)
+        self.img_path = [Path(p) for p in img_path] if isinstance(img_path, (list, tuple)) else Path(img_path)
         self.imgsz = imgsz
         self.nc = nc
         self.single_cls = single_cls
@@ -154,22 +179,24 @@ class YOLODataset:
         self.augment = augment
 
     def _find_images(self, fraction: float) -> List[str]:
-        p = self.img_path
-        if p.is_dir():
-            files = sorted(str(f) for f in p.rglob("*") if f.suffix[1:].lower() in IMG_FORMATS)
-        elif p.is_file() and p.suffix == ".txt":
-            base = p.parent
-            files = sorted(str((base / line.strip()).resolve()) for line in p.read_text().splitlines() if line.strip())
-        else:
-            raise FileNotFoundError(f"image path not found: {p}")
+        files: List[str] = []
+        for p in (self.img_path if isinstance(self.img_path, list) else [self.img_path]):
+            if p.is_dir():
+                files += sorted(str(f) for f in p.rglob("*") if f.suffix[1:].lower() in IMG_FORMATS)
+            elif p.is_file() and p.suffix == ".txt":
+                base = p.parent
+                files += sorted(str((base / line.strip()).resolve()) for line in p.read_text().splitlines() if line.strip())
+            else:
+                raise FileNotFoundError(f"image path not found: {p}")
         if not files:
-            raise FileNotFoundError(f"no images found in {p}")
+            raise FileNotFoundError(f"no images found in {self.img_path}")
         if fraction < 1.0:
             files = files[: max(1, round(len(files) * fraction))]
         return files
 
     def _cache_path(self) -> Path:
-        return Path(str(self.img_path).rstrip("/")).with_suffix(f".labels.{self.task}.json")
+        p = self.img_path[0] if isinstance(self.img_path, list) else self.img_path
+        return Path(str(p).rstrip("/")).with_suffix(f".labels.{self.task}.json")
 
     def _hash(self) -> str:
         h = hashlib.sha256()

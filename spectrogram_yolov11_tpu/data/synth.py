@@ -23,18 +23,25 @@ from spectrogram_yolov11_tpu.utils import LOGGER
 
 
 def maybe_generate(data: dict) -> bool:
-    """Materialize a synthetic dataset described by its yaml (key `synthetic`)."""
+    """Materialize a synthetic dataset described by its yaml (key `synthetic`).
+
+    The class schema follows the yaml: `nc`/`names` sets the label space and
+    `kpt_shape` the keypoint layout, so every packaged drop-in dataset config
+    (coco8.yaml ... lvis.yaml) synthesizes a stand-in with the REAL schema.
+    `train` may be a single dir or a list of dirs (reference surface:
+    cfg/datasets/yolo_params.yaml, VOC.yaml) — each entry is generated.
+    """
     kind = data.get("synthetic")
     if not kind:
         return False
-    root = Path(data["path"])
     n_train = int(data.get("n_train", 64))
     n_val = int(data.get("n_val", 16))
     imgsz = int(data.get("gen_imgsz", 640))
     seed = int(data.get("seed", 0))
-    if Path(data["val"]).exists():
+    val = data["val"][0] if isinstance(data["val"], list) else data["val"]
+    if Path(val).exists():
         return True
-    LOGGER.info(f"Generating synthetic '{kind}' dataset at {root} ({n_train} train / {n_val} val)...")
+    LOGGER.info(f"Generating synthetic '{kind}' dataset at {data['path']} ({n_train} train / {n_val} val)...")
     gen = {
         "shapes": _gen_shapes,
         "spectrogram": _gen_spectrogram,
@@ -42,8 +49,23 @@ def maybe_generate(data: dict) -> bool:
         "shapes-pose": _gen_shapes_pose,
         "shapes-obb": _gen_shapes_obb,
     }[kind]
-    gen(root, "train", n_train, imgsz, seed)
-    gen(root, "val", n_val, imgsz, seed + 10_000)
+    kw = {}
+    if kind.startswith("shapes") and data.get("names"):
+        kw["nc"] = len(data["names"])
+    if kind == "shapes-pose" and data.get("kpt_shape"):
+        kw["kpt_shape"] = tuple(data["kpt_shape"])
+
+    def _gen_into(img_dir, n, s):
+        # entries follow the <root>/images/<split> layout; generators write
+        # root/images/split + root/labels/split
+        p = Path(img_dir)
+        gen(p.parent.parent, p.name, n, imgsz, s, **kw)
+
+    trains = data["train"] if isinstance(data["train"], list) else [data["train"]]
+    for j, t in enumerate(trains):
+        _gen_into(t, n_train, seed + j)
+    for v in (data["val"] if isinstance(data["val"], list) else [data["val"]]):
+        _gen_into(v, n_val, seed + 10_000)
     return True
 
 
@@ -55,23 +77,25 @@ def _write_sample(root: Path, split: str, i: int, img: np.ndarray, labels: list)
     (root / "labels" / split / f"{i:05d}.txt").write_text("\n".join(lines))
 
 
-def _gen_shapes(root: Path, split: str, n: int, imgsz: int, seed: int) -> None:
-    """Rectangles (0), circles (1), triangles (2) on low-freq noise."""
+def _gen_shapes(root: Path, split: str, n: int, imgsz: int, seed: int, nc: int = 3) -> None:
+    """Rectangles, circles, triangles on low-freq noise; class = any nc
+    (drawn glyph cycles through the 3 shapes so arbitrary drop-in schemas —
+    coco 80, lvis 1203 — synthesize with their real label space)."""
     rng = np.random.default_rng(seed)
     for i in range(n):
         base = rng.integers(40, 160, (imgsz // 8, imgsz // 8, 3), dtype=np.uint8)
         img = cv2.resize(base, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
         labels = []
         for _ in range(int(rng.integers(1, 7))):
-            cls = int(rng.integers(0, 3))
+            cls = int(rng.integers(0, nc))
             w = int(rng.uniform(0.08, 0.3) * imgsz)
             h = int(rng.uniform(0.08, 0.3) * imgsz)
             x1 = int(rng.uniform(0, imgsz - w))
             y1 = int(rng.uniform(0, imgsz - h))
             color = tuple(int(c) for c in rng.integers(100, 255, 3))
-            if cls == 0:
+            if cls % 3 == 0:
                 cv2.rectangle(img, (x1, y1), (x1 + w, y1 + h), color, -1)
-            elif cls == 1:
+            elif cls % 3 == 1:
                 cv2.ellipse(img, (x1 + w // 2, y1 + h // 2), (w // 2, h // 2), 0, 0, 360, color, -1)
             else:
                 pts = np.array([[x1 + w // 2, y1], [x1, y1 + h], [x1 + w, y1 + h]], np.int32)
@@ -87,19 +111,19 @@ def _rand_polygon(rng, cx, cy, rad, n_pts=8):
     return np.stack([cx + radii * np.cos(angles), cy + radii * np.sin(angles)], 1).astype(np.float32)
 
 
-def _gen_shapes_seg(root: Path, split: str, n: int, imgsz: int, seed: int) -> None:
-    """Instance segmentation: blob (0) / ellipse-ish (1) polygons; YOLO-seg
-    label format = cls + normalized polygon points."""
+def _gen_shapes_seg(root: Path, split: str, n: int, imgsz: int, seed: int, nc: int = 2) -> None:
+    """Instance segmentation: blob / ellipse-ish polygons over any nc;
+    YOLO-seg label format = cls + normalized polygon points."""
     rng = np.random.default_rng(seed)
     for i in range(n):
         base = rng.integers(40, 160, (imgsz // 8, imgsz // 8, 3), dtype=np.uint8)
         img = cv2.resize(base, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
         lines = []
         for _ in range(int(rng.integers(1, 5))):
-            cls = int(rng.integers(0, 2))
+            cls = int(rng.integers(0, nc))
             cx, cy = rng.uniform(0.15, 0.85, 2) * imgsz
             rad = rng.uniform(0.05, 0.15) * imgsz
-            poly = _rand_polygon(rng, cx, cy, rad, n_pts=8 if cls == 0 else 16)
+            poly = _rand_polygon(rng, cx, cy, rad, n_pts=8 if cls % 2 == 0 else 16)
             poly = np.clip(poly, 0, imgsz - 1)
             color = tuple(int(c) for c in rng.integers(100, 255, 3))
             cv2.fillPoly(img, [poly.astype(np.int32)], color)
@@ -111,29 +135,39 @@ def _gen_shapes_seg(root: Path, split: str, n: int, imgsz: int, seed: int) -> No
         (root / "labels" / split / f"{i:05d}.txt").write_text("\n".join(lines))
 
 
-def _gen_shapes_pose(root: Path, split: str, n: int, imgsz: int, seed: int) -> None:
-    """Pose: 'stick figures' = rectangle bodies with 5 visible keypoints
-    (4 corners + center), nc=1, kpt_shape [5, 3]."""
+def _gen_shapes_pose(root: Path, split: str, n: int, imgsz: int, seed: int,
+                     nc: int = 1, kpt_shape=(5, 3)) -> None:
+    """Pose: 'stick figures' = rectangle bodies with visible keypoints.
+    Default layout (K=5): 4 corners + center — the shapes128-pose schema.
+    Any other kpt_shape (coco [17,3], hand [21,3], dog [24,3]) lays K points
+    on the inscribed ellipse so drop-in pose configs synthesize with their
+    real keypoint count; ndim=2 omits the visibility column."""
     rng = np.random.default_rng(seed)
+    nk, ndim = int(kpt_shape[0]), int(kpt_shape[1])
     for i in range(n):
         base = rng.integers(40, 160, (imgsz // 8, imgsz // 8, 3), dtype=np.uint8)
         img = cv2.resize(base, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
         labels = []
         for _ in range(int(rng.integers(1, 4))):
+            cls = int(rng.integers(0, nc))
             w = rng.uniform(0.1, 0.3) * imgsz
             h = rng.uniform(0.1, 0.3) * imgsz
             x1 = rng.uniform(0, imgsz - w)
             y1 = rng.uniform(0, imgsz - h)
             color = tuple(int(c) for c in rng.integers(100, 255, 3))
             cv2.rectangle(img, (int(x1), int(y1)), (int(x1 + w), int(y1 + h)), color, -1)
-            kps = np.array(
-                [[x1, y1], [x1 + w, y1], [x1 + w, y1 + h], [x1, y1 + h], [x1 + w / 2, y1 + h / 2]], np.float32
-            )
+            if nk == 5:
+                kps = np.array(
+                    [[x1, y1], [x1 + w, y1], [x1 + w, y1 + h], [x1, y1 + h], [x1 + w / 2, y1 + h / 2]], np.float32
+                )
+            else:
+                th = 2 * np.pi * np.arange(nk, dtype=np.float32) / nk
+                kps = np.stack([x1 + w / 2 + w / 2 * np.cos(th), y1 + h / 2 + h / 2 * np.sin(th)], 1)
             for kx, ky in kps:
                 cv2.circle(img, (int(kx), int(ky)), 4, (0, 0, 255), -1)
-            row = [0, (x1 + w / 2) / imgsz, (y1 + h / 2) / imgsz, w / imgsz, h / imgsz]
+            row = [cls, (x1 + w / 2) / imgsz, (y1 + h / 2) / imgsz, w / imgsz, h / imgsz]
             for kx, ky in kps:
-                row += [kx / imgsz, ky / imgsz, 2]
+                row += [kx / imgsz, ky / imgsz] + ([2] if ndim == 3 else [])
             labels.append(" ".join(f"{v:.6f}" if isinstance(v, float) else str(v) for v in row))
         (root / "images" / split).mkdir(parents=True, exist_ok=True)
         (root / "labels" / split).mkdir(parents=True, exist_ok=True)
@@ -141,18 +175,18 @@ def _gen_shapes_pose(root: Path, split: str, n: int, imgsz: int, seed: int) -> N
         (root / "labels" / split / f"{i:05d}.txt").write_text("\n".join(labels))
 
 
-def _gen_shapes_obb(root: Path, split: str, n: int, imgsz: int, seed: int) -> None:
-    """Oriented boxes: rotated rectangles (0) and elongated bars (1); DOTA-style
-    labels = cls + 4 normalized corner points."""
+def _gen_shapes_obb(root: Path, split: str, n: int, imgsz: int, seed: int, nc: int = 2) -> None:
+    """Oriented boxes: rotated rectangles / elongated bars over any nc;
+    DOTA-style labels = cls + 4 normalized corner points."""
     rng = np.random.default_rng(seed)
     for i in range(n):
         base = rng.integers(40, 160, (imgsz // 8, imgsz // 8, 3), dtype=np.uint8)
         img = cv2.resize(base, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
         lines = []
         for _ in range(int(rng.integers(1, 5))):
-            cls = int(rng.integers(0, 2))
+            cls = int(rng.integers(0, nc))
             cx, cy = rng.uniform(0.2, 0.8, 2) * imgsz
-            if cls == 0:
+            if cls % 2 == 0:
                 w, h = rng.uniform(0.08, 0.2, 2) * imgsz
             else:
                 w, h = rng.uniform(0.2, 0.35) * imgsz, rng.uniform(0.03, 0.08) * imgsz
@@ -226,14 +260,17 @@ def _gen_spectrogram(root: Path, split: str, n: int, imgsz: int, seed: int) -> N
         _write_sample(root, split, i, img, labels)
 
 
-def gen_cls_shapes(root: Path, split: str, n_per_class: int, imgsz: int = 160, seed: int = 0) -> None:
+def gen_cls_shapes(root: Path, split: str, n_per_class: int, imgsz: int = 160, seed: int = 0,
+                   names=None) -> None:
     """Folder-per-class classification set: one dominant shape per class
-    (rectangle/circle/triangle) on textured noise — the imagenette-equivalent
-    smoke set for the classify task (zero-egress replacement for the
-    reference's auto-download, data/utils.py:394 check_cls_dataset)."""
+    (rectangle/circle/triangle, cycling for larger schemas) on textured noise —
+    the imagenette-equivalent smoke set for the classify task (zero-egress
+    replacement for the reference's auto-download, data/utils.py:394
+    check_cls_dataset). `names` sets the class-folder list (e.g. the
+    ImageNet.yaml label space); default is the 3-shape smoke schema."""
     rng = np.random.default_rng(seed)
-    for ci, name in enumerate(("rectangle", "circle", "triangle")):
-        d = Path(root) / split / name
+    for ci, name in enumerate(names if names is not None else ("rectangle", "circle", "triangle")):
+        d = Path(root) / split / str(name).replace("/", "-")
         d.mkdir(parents=True, exist_ok=True)
         for i in range(n_per_class):
             base = rng.integers(40, 160, (imgsz // 8, imgsz // 8, 3), dtype=np.uint8)
@@ -241,9 +278,9 @@ def gen_cls_shapes(root: Path, split: str, n_per_class: int, imgsz: int = 160, s
             color = tuple(int(c) for c in rng.integers(120, 255, 3))
             cx, cy = (rng.uniform(0.3, 0.7, 2) * imgsz).astype(int)
             r = int(rng.uniform(0.15, 0.3) * imgsz)
-            if ci == 0:
+            if ci % 3 == 0:
                 cv2.rectangle(img, (cx - r, cy - r), (cx + r, cy + r), color, -1)
-            elif ci == 1:
+            elif ci % 3 == 1:
                 cv2.circle(img, (cx, cy), r, color, -1)
             else:
                 pts = np.array([[cx, cy - r], [cx - r, cy + r], [cx + r, cy + r]], np.int32)

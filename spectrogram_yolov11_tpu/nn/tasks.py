@@ -38,6 +38,8 @@ from spectrogram_yolov11_tpu.utils import LOGGER, make_divisible, yaml_load
 # ---------------------------------------------------------------------------
 
 MODULE_REGISTRY: Dict[str, Any] = {
+    # activations (reference nn/modules/activation.py)
+    "AGLU": M.AGLU,
     # conv family
     "Conv": M.Conv,
     "Conv2": M.Conv2,

@@ -185,3 +185,32 @@ def test_dydcnv2_zero_offset_matches_masked_conv():
     ref = jax.lax.conv_general_dilated(x, k, (1, 1), [(1, 1), (1, 1)],
                                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_aglu_parity(x32):
+    """AGLU (reference nn/modules/activation.py:8) — learnable unified
+    activation; parity on converted lambd/kappa scalars."""
+    from oracle import load_reference
+
+    load_reference()
+    from ultralytics.nn.modules.activation import AGLU as TorchAGLU
+
+    torch.manual_seed(3)
+    _parity(TorchAGLU(), M.AGLU(), x32, atol=1e-5)
+
+
+def test_aglu_yaml_layer_and_grad():
+    """AGLU is registered for yaml graphs (channel-preserving) and its
+    lambd/kappa receive gradients."""
+    import jax.numpy as jnp
+
+    from spectrogram_yolov11_tpu.nn.tasks import MODULE_REGISTRY
+
+    assert MODULE_REGISTRY["AGLU"] is M.AGLU
+    m = M.AGLU()
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (2, 8, 8, 4)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    g = jax.grad(lambda p: jnp.sum(m.apply(p, x) ** 2))(v)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+        assert float(jnp.sum(jnp.abs(leaf))) > 0

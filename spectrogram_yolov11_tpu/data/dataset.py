@@ -623,3 +623,23 @@ class ClassificationDataset:
             y0, x0 = (hh - S) // 2, (ww - S) // 2
             img = img[y0 : y0 + S, x0 : x0 + S]
         return {"img": np.ascontiguousarray(img[..., ::-1]), "cls": np.int32(label)}
+
+
+def autosplit(path: str | Path, weights: tuple = (0.9, 0.1, 0.0), annotated_only: bool = False) -> None:
+    """Split an images directory into autosplit_{train,val,test}.txt lists
+    (reference: data/utils.py:667 — same seeded draw so the same tree splits
+    identically: random.seed(0) + random.choices over the sorted files)."""
+    import random
+
+    path = Path(path)
+    files = sorted(x for x in path.rglob("*.*") if x.suffix[1:].lower() in IMG_FORMATS)
+    random.seed(0)
+    indices = random.choices([0, 1, 2], weights=weights, k=len(files))
+    txt = ["autosplit_train.txt", "autosplit_val.txt", "autosplit_test.txt"]
+    for x in txt:
+        (path.parent / x).unlink(missing_ok=True)
+    LOGGER.info(f"Autosplitting images from {path}" + ", using *.txt labeled images only" * annotated_only)
+    for i, img in zip(indices, files):
+        if not annotated_only or Path(img2label_path(str(img))).exists():
+            with open(path.parent / txt[i], "a", encoding="utf-8") as f:
+                f.write(f"./{img.relative_to(path.parent).as_posix()}" + "\n")

@@ -78,3 +78,47 @@ def file_size(path: str | Path) -> float:
     if p.is_dir():
         return sum(f.stat().st_size for f in p.glob("**/*") if f.is_file()) / mb
     return 0.0
+
+
+def zip_directory(directory: str | Path, compress: bool = True,
+                  exclude: tuple = (".DS_Store", "__MACOSX"), progress: bool = True) -> Path:
+    """Zip a directory's contents into ``<directory>.zip`` rooted at the
+    directory name (reference: utils/downloads.py:93). Returns the zip path."""
+    import zipfile
+
+    directory = Path(directory)
+    if not directory.is_dir():
+        raise FileNotFoundError(f"Directory '{directory}' does not exist.")
+    files = [f for f in directory.rglob("*") if f.is_file() and all(x not in f.name for x in exclude)]
+    zip_file = directory.with_suffix(".zip")
+    compression = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
+    with zipfile.ZipFile(zip_file, "w", compression) as zf:
+        for f in files:
+            zf.write(f, f.relative_to(directory.parent))
+    return zip_file
+
+
+def unzip_file(file: str | Path, path: str | Path | None = None,
+               exclude: tuple = (".DS_Store", "__MACOSX"), exist_ok: bool = False,
+               progress: bool = True) -> Path:
+    """Unzip ``file`` into ``path`` (default: the zip's directory), wrapping
+    loose top-level members in a directory named after the zip like the
+    reference (utils/downloads.py:132). Returns the extraction directory."""
+    import zipfile
+
+    file = Path(file)
+    path = Path(path or file.parent)
+    with zipfile.ZipFile(file) as zf:
+        names = [n for n in zf.namelist() if all(x not in n for x in exclude)]
+        top = {Path(n).parts[0] for n in names if Path(n).parts}
+        # everything under a single top-level dir -> extract as-is; else wrap
+        unzip_as_dir = len(top) == 1 and not any(len(Path(n).parts) == 1 and not n.endswith("/") for n in names)
+        extract_path = path if unzip_as_dir else path / file.stem
+        target = (path / next(iter(top))) if unzip_as_dir else extract_path
+        if target.exists() and any(target.iterdir()) and not exist_ok:
+            return target
+        for n in names:
+            if ".." in Path(n).parts:
+                continue  # zip-slip guard
+            zf.extract(n, extract_path)
+    return target

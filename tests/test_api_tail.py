@@ -256,3 +256,81 @@ def test_plt_settings_restores_backend():
 
     assert probe() == "agg"
     assert plt.get_backend() == original
+
+
+def test_zip_unzip_roundtrip(tmp_path):
+    """zip_directory/unzip_file (reference utils/downloads.py:93,132)."""
+    from spectrogram_yolov11_tpu.utils.files import unzip_file, zip_directory
+
+    d = tmp_path / "pack"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.txt").write_text("alpha")
+    (d / "sub" / "b.txt").write_text("beta")
+    (d / ".DS_Store").write_text("junk")
+    z = zip_directory(d)
+    assert z == d.with_suffix(".zip") and z.exists()
+
+    out = tmp_path / "out"
+    target = unzip_file(z, out)
+    assert (target / "a.txt").read_text() == "alpha"
+    assert (target / "sub" / "b.txt").read_text() == "beta"
+    assert not (target / ".DS_Store").exists()
+    # second unzip without exist_ok returns the existing dir untouched
+    assert unzip_file(z, out) == target
+
+
+def test_autosplit_matches_reference_draw(tmp_path):
+    """autosplit reproduces the reference's seeded split exactly
+    (data/utils.py:667: random.seed(0) + random.choices over sorted files)."""
+    import random
+
+    from spectrogram_yolov11_tpu.data.dataset import autosplit
+
+    imgs = tmp_path / "ds" / "images"
+    lbls = tmp_path / "ds" / "labels"
+    imgs.mkdir(parents=True), lbls.mkdir(parents=True)
+    names = [f"im{i:02d}.jpg" for i in range(20)]
+    for n in names:
+        (imgs / n).write_bytes(b"\xff\xd8")
+    for n in names[:10]:  # only half annotated
+        (lbls / n.replace(".jpg", ".txt")).write_text("0 0.5 0.5 0.1 0.1")
+
+    autosplit(imgs, weights=(0.8, 0.2, 0.0))
+    train = (tmp_path / "ds" / "autosplit_train.txt").read_text().splitlines()
+    val = (tmp_path / "ds" / "autosplit_val.txt").read_text().splitlines()
+    assert len(train) + len(val) == 20
+    random.seed(0)
+    expect = random.choices([0, 1, 2], weights=(0.8, 0.2, 0.0), k=20)
+    assert len(train) == expect.count(0) and len(val) == expect.count(1)
+    assert all(line.startswith("./images/") for line in train + val)
+
+    autosplit(imgs, weights=(1.0, 0.0, 0.0), annotated_only=True)
+    train2 = (tmp_path / "ds" / "autosplit_train.txt").read_text().splitlines()
+    assert len(train2) == 10
+    assert not (tmp_path / "ds" / "autosplit_val.txt").exists()
+
+
+def test_events_queue_and_local_sink(tmp_path, monkeypatch):
+    """Events (reference hub/utils.py:167): disabled by default, queues up to
+    25, flushes through _send on the rate-limit timer."""
+    from types import SimpleNamespace
+
+    from spectrogram_yolov11_tpu.utils.hub import Events
+
+    ev = Events()
+    assert ev.enabled is False  # SETTINGS['sync'] defaults off
+    cfg = SimpleNamespace(mode="train", task="detect", model="yolo11n.yaml", format=None)
+    ev(cfg)
+    assert ev.events == []  # disabled -> no queueing
+
+    ev.enabled = True
+    sent = []
+    ev._send = lambda batch: sent.extend(batch)
+    ev.t = 0.0  # first call flushes immediately (timer expired)
+    ev(cfg)
+    assert len(sent) == 1 and sent[0]["name"] == "train"
+    assert sent[0]["params"]["task"] == "detect"
+    # within the rate limit: queue but don't flush; cap at 25
+    for _ in range(40):
+        ev(cfg)
+    assert len(ev.events) == 25 and len(sent) == 1

@@ -17,6 +17,7 @@ from typing import Any
 from spectrogram_yolov11_tpu.utils import (
     DEFAULT_CFG,
     DEFAULT_CFG_DICT,
+    DEFAULT_CFG_PATH,
     LOGGER,
     RUNS_DIR,
     IterableSimpleNamespace,
@@ -251,7 +252,47 @@ def entrypoint(debug: str = "") -> Any:
             LOGGER.info(__version__)
             return None
         elif a == "settings":
-            LOGGER.info(str(DEFAULT_CFG))
+            # `yolo settings [reset | k=v ...]` (reference cfg/__init__.py
+            # handle_yolo_settings:700): show / update / reset the PERSISTENT
+            # SETTINGS singleton, not the train-cfg defaults
+            from spectrogram_yolov11_tpu.utils import SETTINGS
+
+            rest = argv[argv.index(a) + 1 :]
+            if rest and rest[0] == "reset":
+                SETTINGS.reset()
+                LOGGER.info("settings reset to defaults")
+            elif rest:
+                updates = parse_key_value_pairs([x for x in rest if "=" in x])
+                unknown = set(updates) - set(SETTINGS)
+                if unknown:
+                    raise SyntaxError(f"unknown settings key(s) {sorted(unknown)}; valid: {sorted(SETTINGS)}")
+                SETTINGS.update(updates)
+                SETTINGS.save()
+            LOGGER.info("\n".join(f"{k}={v}" for k, v in SETTINGS.items()) + f"\n\nsettings saved at {SETTINGS.file}")
+            return None
+        elif a == "cfg":
+            # print the packaged default cfg yaml (reference: yaml_print(DEFAULT_CFG_PATH))
+            LOGGER.info(DEFAULT_CFG_PATH.read_text())
+            return None
+        elif a == "copy-cfg":
+            # copy default.yaml next to the user for editing (reference copy_default_cfg:788)
+            dst = Path.cwd() / DEFAULT_CFG_PATH.name.replace(".yaml", "_copy.yaml")
+            shutil.copy2(DEFAULT_CFG_PATH, dst)
+            LOGGER.info(f"{DEFAULT_CFG_PATH} copied to {dst}\nExample: yolo cfg={dst} imgsz=320 batch=8")
+            return None
+        elif a in {"hub", "login", "logout"}:
+            # `yolo hub login [key] | yolo hub logout | yolo login | yolo logout`
+            # (reference handle_yolo_hub:673) against the local registry
+            from spectrogram_yolov11_tpu import hub
+
+            rest = argv[argv.index(a) + 1 :] if a == "hub" else [a] + argv[argv.index(a) + 1 :]
+            verb = rest[0] if rest else "login"
+            if verb == "login":
+                hub.login(rest[1] if len(rest) > 1 else None)
+            elif verb == "logout":
+                hub.logout()
+            else:
+                raise SyntaxError(f"'{verb}' is not a hub command (login/logout)")
             return None
         elif a == "serve":
             # `yolo serve model=best.ckpt [port=8000 host=0.0.0.0]` — KServe-v2

@@ -60,3 +60,29 @@ def test_rect_rejected_with_warning():
 
     c = get_cfg(overrides={"rect": True})
     assert c.rect is False
+
+
+def test_entrypoint_special_verbs(tmp_path, monkeypatch):
+    """cfg / copy-cfg / settings [k=v|reset] / login / logout / hub login
+    (reference cfg/__init__.py special dict :855)."""
+    monkeypatch.chdir(tmp_path)
+
+    assert entrypoint("yolo cfg") is None
+
+    assert entrypoint("yolo copy-cfg") is None
+    copies = list(tmp_path.glob("*_copy.yaml"))
+    assert len(copies) == 1 and "task:" in copies[0].read_text()
+
+    from spectrogram_yolov11_tpu.utils import SETTINGS
+
+    monkeypatch.setattr(SETTINGS, "file", tmp_path / "settings.json")
+    assert entrypoint("yolo settings sync=True") is None
+    assert SETTINGS["sync"] is True and (tmp_path / "settings.json").exists()
+    assert entrypoint("yolo settings reset") is None
+    assert SETTINGS["sync"] is False
+    with pytest.raises(SyntaxError):
+        entrypoint("yolo settings nota_key=1")
+
+    assert entrypoint("yolo login") is None
+    assert entrypoint("yolo hub login") is None
+    assert entrypoint("yolo logout") is None

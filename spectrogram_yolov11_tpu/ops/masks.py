@@ -98,3 +98,14 @@ def scale_image(masks: np.ndarray, im0_shape: Tuple[int, int], ratio_pad=None) -
     bottom, right = int(im1_shape[0] - pad[1]), int(im1_shape[1] - pad[0])
     masks = cv2.resize(masks[top:bottom, left:right], (im0_shape[1], im0_shape[0]))
     return masks[:, :, None] if masks.ndim == 2 else masks
+
+
+def convert_torch2numpy_batch(batch) -> np.ndarray:
+    """BCHW float [0,1] batch (torch tensor, jax array, or numpy) -> BHWC
+    uint8 numpy (reference: utils/ops.py:840 — array-type-agnostic here since
+    this framework's device arrays are jax, but .pt-era user code passes
+    torch tensors)."""
+    if hasattr(batch, "permute"):  # torch tensor
+        return (batch.permute(0, 2, 3, 1).contiguous() * 255).clamp(0, 255).cpu().numpy().astype(np.uint8)
+    arr = np.asarray(batch)
+    return np.clip(arr.transpose(0, 2, 3, 1) * 255, 0, 255).astype(np.uint8)

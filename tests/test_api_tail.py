@@ -334,3 +334,16 @@ def test_events_queue_and_local_sink(tmp_path, monkeypatch):
     for _ in range(40):
         ev(cfg)
     assert len(ev.events) == 25 and len(sent) == 1
+
+
+def test_convert_torch2numpy_batch():
+    """reference utils/ops.py:840 — BCHW float [0,1] -> BHWC uint8, torch or
+    numpy/jax input."""
+    torch = pytest.importorskip("torch")
+
+    from spectrogram_yolov11_tpu.ops.masks import convert_torch2numpy_batch
+
+    x = torch.rand(2, 3, 4, 5)
+    ref = (x.permute(0, 2, 3, 1).contiguous() * 255).clamp(0, 255).to(torch.uint8).numpy()
+    np.testing.assert_array_equal(convert_torch2numpy_batch(x), ref)
+    np.testing.assert_array_equal(convert_torch2numpy_batch(x.numpy()), ref)

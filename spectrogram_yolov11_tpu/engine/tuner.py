@@ -105,6 +105,9 @@ class Tuner:
         if best:
             yaml_save(self.tune_dir / "best_hyperparameters.yaml", {k: float(best[k]) for k in self.space})
             LOGGER.info(f"Tuner: best fitness {best['fitness']} -> {self.tune_dir / 'best_hyperparameters.yaml'}")
+            from spectrogram_yolov11_tpu.utils.plotting import plot_tune_results
+
+            plot_tune_results(self.csv)  # tune_scatter_plots.png + tune_fitness.png
         return best
 
 

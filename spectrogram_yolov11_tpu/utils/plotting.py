@@ -233,3 +233,50 @@ def plot_val_curves(metrics, names: Dict[int, str], save_dir: Path) -> list:
         plot_mc_curve(x, curves["r_curve"], names, save_dir, "Recall", "R_curve.png"),
     ]
     return outs
+
+
+def plot_tune_results(csv_file: str | Path = "tune_results.csv") -> Optional[Path]:
+    """Scatter grid of each mutated hyperparameter vs fitness (best run
+    circled) plus fitness-vs-iteration — reference utils/plotting.py
+    plot_tune_results:1142. Saves tune_scatter_plots.png and
+    tune_fitness.png next to the CSV; returns the scatter path."""
+    import csv as _csv
+
+    csv_file = Path(csv_file)
+    if not csv_file.exists():
+        return None
+    with open(csv_file) as f:
+        rows = list(_csv.DictReader(f))
+    if not rows:
+        return None
+    plt = _plt()
+    keys = [k for k in rows[0] if k not in ("iteration", "fitness")]
+    fit = np.asarray([float(r["fitness"]) for r in rows])
+    best_i = int(fit.argmax())
+
+    n = len(keys)
+    cols = int(np.ceil(np.sqrt(n)))
+    rows_n = int(np.ceil(n / cols))
+    fig, axes = plt.subplots(rows_n, cols, figsize=(cols * 2.5, rows_n * 2.5), tight_layout=True)
+    axes = np.atleast_1d(axes).ravel()
+    for ax, k in zip(axes, keys):
+        v = np.asarray([float(r[k]) for r in rows])
+        ax.scatter(v, fit, c=fit, cmap="viridis", alpha=0.8, edgecolors="none", s=16)
+        ax.scatter(v[best_i], fit[best_i], marker="o", s=64, facecolors="none", edgecolors="r")
+        ax.set_title(f"{k} = {v[best_i]:.3g}", fontsize=8)
+        ax.tick_params(labelsize=6)
+    for ax in axes[n:]:
+        ax.axis("off")
+    scatter_path = csv_file.with_name("tune_scatter_plots.png")
+    fig.savefig(scatter_path, dpi=150)
+    plt.close(fig)
+
+    fig2, ax2 = plt.subplots(figsize=(6, 4), tight_layout=True)
+    it = np.asarray([int(float(r["iteration"])) for r in rows])
+    ax2.plot(it, fit, marker="o", ms=3, lw=1, label="fitness")
+    ax2.plot(it, np.maximum.accumulate(fit), lw=2, label="best so far")
+    ax2.scatter(it[best_i], fit[best_i], marker="*", s=120, c="r", zorder=3)
+    ax2.set_xlabel("iteration"), ax2.set_ylabel("fitness"), ax2.legend()
+    fig2.savefig(csv_file.with_name("tune_fitness.png"), dpi=150)
+    plt.close(fig2)
+    return scatter_path

@@ -33,6 +33,9 @@ def test_tuner_evolution_smoke(tmp_path):
     rows = list(_csv.DictReader(open(t.csv)))
     assert len(rows) == 2
     assert all("fitness" in r for r in rows)
+    # evolution plots (reference utils/plotting.py plot_tune_results)
+    assert (t.tune_dir / "tune_scatter_plots.png").exists()
+    assert (t.tune_dir / "tune_fitness.png").exists()
 
 
 @pytest.mark.slow

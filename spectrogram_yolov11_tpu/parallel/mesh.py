@@ -66,6 +66,49 @@ def replicate_state(state: Any, mesh: Mesh) -> Any:
     return jax.device_put(state, replicated(mesh))
 
 
+def get_mesh_2d(devices: Optional[list] = None, model_parallel: int = 1,
+                axis_names: tuple = ("data", "model")) -> Mesh:
+    """2-D data × model mesh. The model axis is the fast (inner) dimension so
+    model-parallel collectives ride neighboring ICI links; data-parallel
+    gradient psums cross the slower outer dimension once per step."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, axis_names)
+
+
+def _model_spec_for(shape: tuple, mp: int, min_dim: int) -> P:
+    """PartitionSpec sharding the LAST dim divisible by the model-axis size
+    and >= min_dim (conv kernels' C_out / linear out-features — the weight
+    dims that grow with model scale); fully replicated otherwise."""
+    for i in range(len(shape) - 1, -1, -1):
+        if shape[i] >= min_dim and shape[i] % mp == 0:
+            return P(*([None] * i), "model")
+    return P()
+
+
+def shard_state_over_model_axis(state: Any, mesh: Mesh, min_dim: int = 256) -> Any:
+    """Weight-sharded (FSDP/TP-style) placement over a 2-D data×model mesh.
+
+    Every array leaf whose trailing channel dim is large enough is partitioned
+    over the 'model' axis; small leaves (biases, BN stats, scalars) replicate.
+    Under jit, XLA GSPMD propagates these shardings through the whole train
+    step and inserts the all-gathers / reduce-scatters itself — the per-leaf
+    spec here is the ONLY parallelism annotation needed. The reference has no
+    counterpart (DDP replicates everything); this is what lets a model larger
+    than one chip's HBM train/serve on a slice."""
+    mp = mesh.shape["model"]
+
+    def put(x):
+        if getattr(x, "ndim", 0) == 0 or not hasattr(x, "shape"):
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        return jax.device_put(x, NamedSharding(mesh, _model_spec_for(x.shape, mp, min_dim)))
+
+    return jax.tree_util.tree_map(put, state)
+
+
 def pad_batch_to_devices(batch: dict, n_devices: int) -> dict:
     """Pad the batch dim to a multiple of the mesh size (tail val batches)."""
     b = batch["img"].shape[0]

@@ -121,3 +121,48 @@ def test_sharded_val_matches_single_device(tmp_path):
     assert set(m1) == set(m8)
     for k in m1:
         np.testing.assert_allclose(m1[k], m8[k], rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_2d_data_model_mesh_matches_single_device():
+    """Weight-sharded (FSDP/TP-style) 4x2 data x model mesh: same losses as
+    single-device. GSPMD inserts all collectives from the per-leaf
+    PartitionSpecs in shard_state_over_model_axis."""
+    from spectrogram_yolov11_tpu.parallel.mesh import get_mesh_2d, shard_state_over_model_axis
+
+    assert len(jax.devices()) >= 8
+    model = build_model("yolo11n.yaml", nc=NC, verbose=False)
+    variables = model.init(jax.random.PRNGKey(0), imgsz=IMGSZ)
+    opt_cfg = OptConfig("sgd", 0.01, 0.01, 0.937, 5e-4, -1, 0.1, 0.8, 3, 4, False)
+    groups = param_groups(variables["params"])
+    step = _make_step(model, opt_cfg, groups)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": rng.integers(0, 255, (8, IMGSZ, IMGSZ, 3)).astype(np.uint8),
+        "cls": rng.integers(0, NC, (8, MAX_GT)).astype(np.int32),
+        "boxes": rng.uniform(0.3, 0.6, (8, MAX_GT, 4)).astype(np.float32),
+        "mask": np.ones((8, MAX_GT), bool),
+    }
+    state0 = {"params": variables["params"], "batch_stats": variables["batch_stats"],
+              "opt": init_opt_state(variables["params"])}
+
+    def run(state, b):
+        losses, st = [], state
+        for i in range(2):
+            st, loss = step(st, b["img"], b["cls"], b["boxes"], b["mask"], jnp.asarray(i, jnp.int32))
+            losses.append(float(loss))
+        return losses
+
+    mesh1 = get_mesh(jax.devices()[:1])
+    losses_1 = run(replicate_state(state0, mesh1), shard_batch(dict(batch), mesh1))
+
+    mesh2 = get_mesh_2d(jax.devices()[:8], model_parallel=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+    st2 = shard_state_over_model_axis(state0, mesh2, min_dim=64)
+    # at least one param leaf must actually be partitioned over 'model'
+    from jax.sharding import PartitionSpec as P
+
+    specs = [x.sharding.spec for x in jax.tree_util.tree_leaves(st2["params"])]
+    assert any("model" in str(s) for s in specs), "nothing sharded over the model axis"
+    losses_2 = run(st2, shard_batch(dict(batch), mesh2))
+    np.testing.assert_allclose(losses_1, losses_2, rtol=3e-4)

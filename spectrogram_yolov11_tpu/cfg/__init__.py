@@ -308,6 +308,7 @@ def entrypoint(debug: str = "") -> Any:
                 block=bool(skv.get("block", True)),
                 data_parallel=bool(skv.get("data_parallel", False)),
                 half=bool(skv.get("half", False)),
+                model_parallel=int(skv.get("model_parallel", 1)),
             )
         elif a == "solutions":
             # `yolo solutions <Name> source=... [k=v...]` (reference cfg/__init__.py

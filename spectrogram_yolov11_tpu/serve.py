@@ -78,7 +78,7 @@ class _ModelRunner:
     """
 
     def __init__(self, source, name: Optional[str] = None, data_parallel: bool = False,
-                 half: bool = False):
+                 half: bool = False, model_parallel: int = 1):
         from spectrogram_yolov11_tpu.nn.autobackend import AutoBackend
 
         self.backend = source if isinstance(source, AutoBackend) else AutoBackend(str(source), half=half)
@@ -87,18 +87,29 @@ class _ModelRunner:
         self.lock = threading.Lock()
         self._out_specs: Optional[List[dict]] = None
         self.mesh = None
-        if data_parallel:
+        if data_parallel or model_parallel > 1:
             import jax
-            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from spectrogram_yolov11_tpu.parallel.mesh import get_mesh_2d, shard_state_over_model_axis
 
             devs = jax.devices()
             if len(devs) > 1 and self.backend.variables is not None:
-                self.mesh = Mesh(np.array(devs), ("data",))
-                self.n_dev = len(devs)
+                mp = max(1, int(model_parallel))
+                if len(devs) % mp:
+                    LOGGER.warning(f"serve: model_parallel={mp} does not divide {len(devs)} devices; using 1")
+                    mp = 1
+                # data axis shards request batches; model axis (inner, fast
+                # ICI) weight-shards big channel dims — lets a model larger
+                # than one chip's HBM serve on a slice (docs/parallel.md)
+                self.mesh = get_mesh_2d(devs, model_parallel=mp)
+                self.n_dev = self.mesh.shape["data"]
                 self._in_shard = NamedSharding(self.mesh, PartitionSpec("data"))
-                # replicate weights once; backend._fn reads .variables late-bound
-                self.backend.variables = jax.device_put(
-                    self.backend.variables, NamedSharding(self.mesh, PartitionSpec()))
+                self.backend.variables = (
+                    shard_state_over_model_axis(self.backend.variables, self.mesh)
+                    if mp > 1
+                    else jax.device_put(self.backend.variables, NamedSharding(self.mesh, PartitionSpec()))
+                )
             else:
                 LOGGER.warning("serve: data_parallel requested but "
                                f"{len(devs)} device(s) / kind={self.backend.kind}; serving single-device")
@@ -216,7 +227,7 @@ class InferenceServer:
 
     def __init__(self, models: Union[str, Path, Dict[str, object]],
                  host: str = "127.0.0.1", port: int = 8000, data_parallel: bool = False,
-                 half: bool = False):
+                 half: bool = False, model_parallel: int = 1):
         from spectrogram_yolov11_tpu.utils import enable_compile_cache
 
         enable_compile_cache()  # restarted servers skip the first-jit compile
@@ -224,7 +235,8 @@ class InferenceServer:
             models = {None: models}
         self.models: Dict[str, _ModelRunner] = {}
         for name, src in models.items():
-            r = _ModelRunner(src, name=name, data_parallel=data_parallel, half=half)
+            r = _ModelRunner(src, name=name, data_parallel=data_parallel, half=half,
+                             model_parallel=model_parallel)
             self.models[r.name] = r
         self.host, self.port = host, int(port)
         self._httpd: Optional[ThreadingHTTPServer] = None
@@ -539,9 +551,11 @@ class RemotePredictor:
 
 
 def serve(models, host: str = "127.0.0.1", port: int = 8000,
-          block: bool = True, data_parallel: bool = False, half: bool = False) -> InferenceServer:
+          block: bool = True, data_parallel: bool = False, half: bool = False,
+          model_parallel: int = 1) -> InferenceServer:
     """Entry used by ``yolo serve`` (cfg/__init__.py) and programmatic users."""
-    srv = InferenceServer(models, host=host, port=port, data_parallel=data_parallel, half=half)
+    srv = InferenceServer(models, host=host, port=port, data_parallel=data_parallel, half=half,
+                          model_parallel=model_parallel)
     if block:
         srv.serve_forever()
     else:

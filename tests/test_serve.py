@@ -195,3 +195,26 @@ def test_remote_predict_all_tasks(tmp_path, yaml_name, task):
                                            atol=1e-2, rtol=1e-3)
     finally:
         srv.shutdown()
+
+
+def test_model_parallel_serving_matches(served):
+    """model_parallel=2 weight-shards big channel dims over the inner 'model'
+    axis of a 4x2 mesh (parallel/mesh.py shard_state_over_model_axis);
+    detections must equal single-device serving."""
+    import jax
+
+    from spectrogram_yolov11_tpu.serve import InferenceServer, RemoteModel
+
+    assert len(jax.devices()) == 8
+    srv, ckpt = served
+    mp = InferenceServer({"tiny": ckpt}, port=0, data_parallel=True, model_parallel=2).start()
+    try:
+        runner = mp.models["tiny"]
+        assert runner.mesh is not None and runner.mesh.shape == {"data": 4, "model": 2}
+        x = np.random.default_rng(4).integers(0, 255, (3, 64, 64, 3), np.uint8)
+        a = RemoteModel(f"http://127.0.0.1:{srv.port}/tiny")(x)[0]
+        b = RemoteModel(f"http://127.0.0.1:{mp.port}/tiny")(x)[0]
+        assert b.shape == a.shape
+        np.testing.assert_allclose(b, a, atol=1e-4, rtol=1e-4)
+    finally:
+        mp.shutdown()

@@ -73,6 +73,12 @@ class YOLO:
             self._load_ckpt(self.model_path)
         elif suffix == ".pt":
             self._import_pt(self.model_path)
+        elif suffix in {".stablehlo", ".tflite", ".onnx"} or (
+            Path(self.model_path).is_dir() and (Path(self.model_path) / "saved_model.pb").exists()
+        ):
+            # exported artifact -> AutoBackend, same predict/val machinery as
+            # served models (reference: YOLO('model.onnx') routes AutoBackend)
+            self._load_backend(self.model_path)
         else:
             # bare name like 'yolo11n' -> yaml
             self._new(self.model_path + ".yaml", verbose=verbose)
@@ -129,6 +135,17 @@ class YOLO:
 
         self.backend = AutoBackend(url)
         self.task = self.task or self.backend.task
+        self.overrides["task"] = self.task
+
+    def _load_backend(self, path: str):
+        """Attach an exported artifact (.stablehlo / .tflite / .onnx /
+        saved_model dir) through AutoBackend — predict and val run through the
+        same backend machinery as served models, so `YOLO('best.stablehlo')`
+        behaves like the reference's `YOLO('best.onnx')`."""
+        from spectrogram_yolov11_tpu.nn.autobackend import AutoBackend
+
+        self.backend = AutoBackend(path)
+        self.task = self.task or getattr(self.backend, "task", None) or "detect"
         self.overrides["task"] = self.task
 
     def _ensure_variables(self):

@@ -235,3 +235,26 @@ def test_boxes_id_surface():
     assert list(b.id) == [4, 5, 6]
     assert list(b[1:].id) == [5, 6]
     assert Boxes(np.zeros((2, 6), np.float32), (64, 64)).id is None
+
+
+def test_tutorial_notebook_executes(tmp_path, monkeypatch):
+    """examples/tutorial.ipynb code cells run end-to-end (shrunk knobs, CPU):
+    train -> val -> predict -> export -> reimport."""
+    import json as _json
+    from pathlib import Path as _P
+
+    nb = _json.loads((_P(__file__).parent.parent / "examples" / "tutorial.ipynb").read_text())
+    monkeypatch.chdir(tmp_path)
+    ns: dict = {}
+    for cell in nb["cells"]:
+        if cell["cell_type"] != "code":
+            continue
+        src = "".join(cell["source"])
+        src = src.replace('MODEL, DATA = "yolo11n.yaml", "spectrogram_synth.yaml"',
+                          'MODEL, DATA = "yolo11n.yaml", "shapes128.yaml"')
+        src = src.replace("IMGSZ, EPOCHS, BATCH = 640, 10, 16",
+                          "IMGSZ, EPOCHS, BATCH = 64, 1, 2")
+        src = src.replace("plots=True", "plots=False, workers=0, fraction=0.1, val=False, save=True")
+        exec(compile(src, "<tutorial>", "exec"), ns)
+    assert ns["res"].boxes is not None
+    assert _P(ns["artifact"]).exists()

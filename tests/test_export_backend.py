@@ -179,3 +179,19 @@ def test_export_tflite_and_int8(tmp_path):
     b8 = AutoBackend(p8)
     out8 = np.asarray(b8.forward(np.zeros((1, 64, 64, 3), np.uint8)))
     assert out8.shape == out.shape and np.isfinite(out8).all()
+
+
+def test_yolo_loads_exported_artifact(small_model, tmp_path):
+    """YOLO('best.stablehlo') predicts/vals through AutoBackend like the
+    reference's YOLO('best.onnx') (engine/model.py _load_backend)."""
+    from spectrogram_yolov11_tpu import YOLO
+
+    path = small_model.export(format="stablehlo", save_dir=str(tmp_path), imgsz=64, batch=1)
+    m = YOLO(str(path))
+    assert m.backend is not None and m.backend.kind == "stablehlo"
+    img = np.random.default_rng(0).integers(0, 255, (96, 128, 3), np.uint8)
+    kw = dict(imgsz=64, conf=0.0, max_det=8, verbose=False)
+    via_artifact = m.predict(img, **kw)[0].boxes.data
+    direct = small_model.predict(img, **kw)[0].boxes.data
+    assert via_artifact.shape == direct.shape == (8, 6)
+    np.testing.assert_allclose(via_artifact, direct, atol=1e-3, rtol=1e-3)

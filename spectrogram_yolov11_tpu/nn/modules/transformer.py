@@ -205,6 +205,50 @@ def _bilinear_gather(v_flat, H: int, W: int, px, py):
     return outs
 
 
+def _patch_bilinear_sample(v_img, px, py):
+    """Bilinear sample via ONE 2x2-patch gather (zeros padding semantics).
+
+    v_img: (N, H, W, c); px/py: (N, S) pixel coords (may be out of range).
+    Returns (N, S, c).
+
+    TPU rationale: the naive formulation is four row-gathers of c elements —
+    at c=32 that is a 64-byte row, 1/4 of a lane tile, and gather throughput
+    collapses (measured 1.28 ms/img/call at RT-DETR decoder shapes, 6 calls =
+    ~80%% of the whole model's latency). Gathering the 2x2xc patch in one
+    lax.gather makes each row 4x wider and cuts the gather count 4x. Border
+    handling: the map is zero-padded by 1 so true taps at -1/H/W read zeros,
+    gather starts are clamped into range, and tap weights use max(0, 1-|d|)
+    against the CLAMPED patch positions — taps the clamp moved away get
+    weight 0, reproducing the reference grid_sample's zeros padding exactly.
+    """
+    N, H, W, c = v_img.shape
+    S = px.shape[1]
+    vp = jnp.pad(v_img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    pxp = px.astype(jnp.float32) + 1.0
+    pyp = py.astype(jnp.float32) + 1.0
+    x0 = jnp.clip(jnp.floor(pxp), 0, W).astype(jnp.int32)   # slice size 2 -> start <= W
+    y0 = jnp.clip(jnp.floor(pyp), 0, H).astype(jnp.int32)
+
+    starts = jnp.stack([y0, x0], axis=-1)  # (N, S, 2)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+    patches = jax.vmap(
+        lambda img, st: jax.lax.gather(img, st, dnums, slice_sizes=(2, 2, c), mode="clip")
+    )(vp, starts)  # (N, S, 2, 2, c)
+
+    wx1 = jnp.maximum(0.0, 1.0 - jnp.abs(pxp - x0.astype(jnp.float32)))
+    wx2 = jnp.maximum(0.0, 1.0 - jnp.abs(pxp - (x0 + 1).astype(jnp.float32)))
+    wy1 = jnp.maximum(0.0, 1.0 - jnp.abs(pyp - y0.astype(jnp.float32)))
+    wy2 = jnp.maximum(0.0, 1.0 - jnp.abs(pyp - (y0 + 1).astype(jnp.float32)))
+    wy = jnp.stack([wy1, wy2], -1)  # (N, S, 2) f32
+    wx = jnp.stack([wx1, wx2], -1)
+    # f32 accumulation regardless of the value dtype (matches the previous
+    # formulation, where bf16 taps were weighted by f32 scalars)
+    return jnp.einsum("nsyxc,nsy,nsx->nsc", patches, wy, wx,
+                      preferred_element_type=jnp.float32)
+
+
 def ms_deformable_attention(value, shapes: Sequence[Tuple[int, int]], sampling_locations, attention_weights):
     """Multi-scale deformable attention core (reference: nn/modules/utils.py:42).
 
@@ -220,14 +264,15 @@ def ms_deformable_attention(value, shapes: Sequence[Tuple[int, int]], sampling_l
     for lvl, (H, W) in enumerate(shapes):
         v = value[:, start : start + H * W]  # (B, HW, nh, c)
         start += H * W
-        v = v.transpose(0, 2, 1, 3).reshape(B * nh, H * W, c)
+        v = v.transpose(0, 2, 1, 3).reshape(B * nh, H, W, c)
         loc = sampling_locations[:, :, :, lvl]  # (B, Lq, nh, np, 2)
-        px = (loc[..., 0] * W - 0.5).transpose(0, 2, 1, 3).reshape(B * nh, Lq, npts)
-        py = (loc[..., 1] * H - 0.5).transpose(0, 2, 1, 3).reshape(B * nh, Lq, npts)
-        sampled.append(_bilinear_gather(v, H, W, px, py))  # (B*nh, Lq, np, c)
+        px = (loc[..., 0] * W - 0.5).transpose(0, 2, 1, 3).reshape(B * nh, Lq * npts)
+        py = (loc[..., 1] * H - 0.5).transpose(0, 2, 1, 3).reshape(B * nh, Lq * npts)
+        s = _patch_bilinear_sample(v, px, py)  # (B*nh, Lq*np, c)
+        sampled.append(s.reshape(B * nh, Lq, npts, c))
     sv = jnp.stack(sampled, axis=2)  # (B*nh, Lq, nl, np, c)
     aw = attention_weights.transpose(0, 2, 1, 3, 4).reshape(B * nh, Lq, len(shapes), npts)
-    out = (sv * aw[..., None]).sum(axis=(2, 3))  # (B*nh, Lq, c)
+    out = (sv * aw[..., None].astype(sv.dtype)).sum(axis=(2, 3))  # (B*nh, Lq, c)
     return out.reshape(B, nh, Lq, c).transpose(0, 2, 1, 3).reshape(B, Lq, nh * c)
 
 

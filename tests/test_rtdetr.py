@@ -120,3 +120,34 @@ def test_rtdetr_train_smoke(tmp_path):
     metrics = t.train()
     assert t.last.exists()
     assert "fitness" in metrics
+
+
+def test_patch_bilinear_sample_matches_naive_zeros_padding():
+    """_patch_bilinear_sample == naive 4-tap bilinear with zeros padding,
+    including taps far outside the map (grid_sample align_corners=False)."""
+    import jax.numpy as jnp
+
+    from spectrogram_yolov11_tpu.nn.modules.transformer import _patch_bilinear_sample
+
+    rng = np.random.default_rng(0)
+    N, H, W, c, S = 3, 7, 9, 4, 64
+    v = rng.normal(0, 1, (N, H, W, c)).astype(np.float32)
+    # mix of interior, border-straddling, and far-out-of-bounds coords
+    px = np.concatenate([rng.uniform(-0.6, W - 0.4, (N, S - 16)),
+                         rng.uniform(-30, 30, (N, 16))], axis=1).astype(np.float32)
+    py = np.concatenate([rng.uniform(-0.6, H - 0.4, (N, S - 16)),
+                         rng.uniform(-30, 30, (N, 16))], axis=1).astype(np.float32)
+
+    out = np.asarray(_patch_bilinear_sample(jnp.asarray(v), jnp.asarray(px), jnp.asarray(py)))
+
+    ref = np.zeros((N, S, c), np.float32)
+    for n in range(N):
+        for s in range(S):
+            x0, y0 = int(np.floor(px[n, s])), int(np.floor(py[n, s]))
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    xi, yi = x0 + dx, y0 + dy
+                    w = (1 - abs(px[n, s] - xi)) * (1 - abs(py[n, s] - yi))
+                    if 0 <= xi < W and 0 <= yi < H:
+                        ref[n, s] += w * v[n, yi, xi]
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)

@@ -151,6 +151,13 @@ class Exporter:
                 f"format '{fmt}' needs optional deps not present in this environment "
                 f"(availability matrix: { {k: v['available'] for k, v in formats.items()} })"
             )
+        if fmt != "ckpt":
+            # compiled-graph formats ship the deploy (RepConv-fused) form —
+            # reference fuses before every export (engine/exporter.py:320);
+            # ckpt keeps train-form params so training can resume from it
+            from spectrogram_yolov11_tpu.nn.tasks import fuse_model
+
+            self.model, self.variables = fuse_model(self.model, self.variables)
         if self.args.half:
             self.model.set_dtype(jnp.bfloat16)  # bf16 compute in the exported graph
         save_dir = get_save_dir(self.args, name="export")

@@ -426,7 +426,13 @@ class YOLO:
         return out
 
     def fuse(self):
-        LOGGER.info("fuse(): conv+BN folding is applied at export; XLA fuses the affine at jit time.")
+        """RepConv branches fold into single convs automatically wherever an
+        inference pair is built (predictor/exporter/AutoBackend —
+        `nn.tasks.fuse_model`); plain conv+BN affines fuse at jit time. The
+        facade keeps the train-form model so training/resume keep working, so
+        this is a no-op here (reference fuse() mutates in place and forfeits
+        further training, engine/model.py:396)."""
+        LOGGER.info("fuse(): RepConv folding applies at predict/export; conv+BN folds at jit time.")
         return self
 
     def set_classes(self, classes) -> None:

@@ -69,6 +69,15 @@ class BasePredictor:
     """Detection predictor; subclasses adjust postprocess for other tasks."""
 
     def __init__(self, model, variables, overrides: Optional[dict] = None):
+        # Deploy-time RepConv re-parameterization (reference AutoBackend
+        # fuses on load, nn/autobackend.py:146): exact algebra, returns the
+        # input pair untouched for graphs without RepConvs. The facade's
+        # model/variables stay in train form — only this predictor holds the
+        # fused copy.
+        if hasattr(model, "graph"):
+            from spectrogram_yolov11_tpu.nn.tasks import fuse_model
+
+            model, variables = fuse_model(model, variables)
         self.model = model
         self.variables = variables
         args = get_cfg(DEFAULT_CFG, overrides or {})

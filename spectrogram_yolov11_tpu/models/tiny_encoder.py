@@ -49,6 +49,7 @@ class Conv2dBN(nn.Module):
         x = conv2d(x, self.c2, self.ks, self.stride, self.pad, g=self.groups, bias=False,
                    dtype=self.dtype, name="c")
         return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                            dtype=jnp.float32 if train else x.dtype,
                             scale_init=nn.initializers.constant(self.bn_weight_init),
                             param_dtype=jnp.float32, name="bn")(x)
 

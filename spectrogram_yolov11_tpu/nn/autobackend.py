@@ -85,7 +85,10 @@ class AutoBackend:
                 src = str(ckpt)
             y = YOLO(src)
             y._ensure_variables()
-            self.model, self.variables = y.model, y.variables
+            from spectrogram_yolov11_tpu.nn.tasks import fuse_model
+
+            # reference AutoBackend fuses on load (nn/autobackend.py:146)
+            self.model, self.variables = fuse_model(y.model, y.variables)
             if half:  # bf16 compute, the TPU serving fast path (params stay f32)
                 self.model.set_dtype(jnp.bfloat16)
             self.names = y.names

@@ -167,13 +167,21 @@ def conv2d(x, c2, k=1, s=1, p=None, g=1, d=1, bias=False, dtype=None, name="conv
 
 
 def batch_norm(x, train: bool, name="bn"):
-    """BN matching the reference init (eps=1e-3, momentum=0.03 torch => 0.97 flax);
-    always computed in float32 for stability under bfloat16 activations."""
+    """BN matching the reference init (eps=1e-3, momentum=0.03 torch => 0.97 flax).
+
+    Training normalizes in float32 (stability under bfloat16 activations;
+    batch statistics are always computed in f32 by flax regardless of dtype).
+    Eval normalizes in the ACTIVATION dtype: with running stats BN is a pure
+    per-channel affine, and keeping it f32 made every conv's epilogue an
+    f32 elementwise chain at full feature-map shape — measured 2.9 GB/batch
+    of standalone converts plus f32 fusion outputs in the rtdetr-l bs32 HLO,
+    the single largest avoidable HBM cost in the inference graphs. For f32
+    activations eval math is unchanged bit-for-bit."""
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=0.97,
         epsilon=1e-3,
-        dtype=jnp.float32,
+        dtype=jnp.float32 if train else x.dtype,
         param_dtype=jnp.float32,
         name=name,
     )(x)
@@ -427,8 +435,12 @@ class GhostConv(nn.Module):
 
 class RepConv(nn.Module):
     """RepVGG-style re-parameterizable conv: 3x3 + 1x1 (+ identity BN) branches
-    summed pre-activation (reference: conv.py:1021). Deploy-time fusion is a
-    param transform (utils/fuse.py), not a separate module.
+    summed pre-activation (reference: conv.py:1021). Deploy-time fusion
+    (reference fuse_convs, conv.py:1090) is a param transform —
+    `fuse_repconv` below folds the branches into ONE biased conv consumed by
+    the `deploy` form here. XLA fuses elementwise epilogues but never folds
+    PARALLEL convs, so this halves the conv count of every RepC3/RepCSP at
+    serving time (same win measured at 1.37x for the NAS QARepVGG fold).
     """
 
     c1: int
@@ -446,12 +458,50 @@ class RepConv(nn.Module):
     def __call__(self, x, train: bool = False):
         in_dt = x.dtype
         assert self.k == 3 and self.p == 1
+        # self-select the form from the BOUND param layout: fuse_model
+        # replaces this module's subtree with {"reparam": {kernel, bias}}, so
+        # a fused tree picks the deploy graph and a train tree the branches —
+        # no global mode flag, correct under any nesting (RepC3/RepCSP) and
+        # for direct module use. init never sees "reparam" -> train form.
+        if not train and self.has_variable("params", "reparam"):
+            y = conv2d(x, self.c2, self.k, self.s, self.p, self.g, self.d, True, self.dtype, "reparam")
+            return get_act(self.act)(y).astype(self.dtype or in_dt)
         y1 = Conv(self.c1, self.c2, self.k, self.s, p=self.p, g=self.g, act=False, dtype=self.dtype, name="conv1")(x, train)
         y2 = Conv(self.c1, self.c2, 1, self.s, p=self.p - self.k // 2, g=self.g, act=False, dtype=self.dtype, name="conv2")(x, train)
         ident = 0
         if self.bn and self.c2 == self.c1 and self.s == 1:
             ident = batch_norm(x, train, name="bn")
         return get_act(self.act)(y1 + y2 + ident).astype(self.dtype or in_dt)
+
+
+def fuse_repconv(params: dict, stats: dict, eps: float = 1e-3):
+    """Fold a trained RepConv subtree into (kernel (3,3,c1/g,c2), bias (c2,)).
+
+    Standard RepVGG re-parameterization (reference RepConv.get_equivalent_kernel_bias,
+    conv.py:1055): BN-fold each branch, center-pad the 1x1 kernel into the
+    3x3, add the (optional) identity BN as a centered per-group eye. Exact
+    algebra — parity asserted by tests/test_repconv_fuse.py.
+    """
+    import numpy as np
+
+    def bn_fold(kernel, bn_p, bn_s):
+        s = np.asarray(bn_p["scale"], np.float32) / np.sqrt(np.asarray(bn_s["var"], np.float32) + eps)
+        return np.asarray(kernel, np.float32) * s, np.asarray(bn_p["bias"], np.float32) - np.asarray(bn_s["mean"], np.float32) * s
+
+    w3, b3 = bn_fold(params["conv1"]["conv"]["kernel"], params["conv1"]["bn"], stats["conv1"]["bn"])
+    w1, b1 = bn_fold(params["conv2"]["conv"]["kernel"], params["conv2"]["bn"], stats["conv2"]["bn"])
+    w = w3.copy()
+    w[1:2, 1:2] += w1
+    b = b3 + b1
+    if "bn" in params:  # identity branch (bn=True, c1==c2, s==1)
+        cin, c2 = w.shape[2], w.shape[3]
+        s_id = np.asarray(params["bn"]["scale"], np.float32) / np.sqrt(np.asarray(stats["bn"]["var"], np.float32) + eps)
+        groups = c2 // cin
+        for gi in range(groups):  # per-group eye: channel j of group gi reads input channel j
+            for j in range(cin):
+                w[1, 1, j, gi * cin + j] += s_id[gi * cin + j]
+        b += np.asarray(params["bn"]["bias"], np.float32) - np.asarray(stats["bn"]["mean"], np.float32) * s_id
+    return w, b
 
 
 class ChannelAttention(nn.Module):

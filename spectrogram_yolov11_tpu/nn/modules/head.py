@@ -273,7 +273,8 @@ class RTDETRDecoder(nn.Module):
             p = conv2d(x, self.hd, 1, bias=False, dtype=self.dtype,
                        kernel_init=nn.initializers.xavier_uniform(), name=f"input_proj_{i}_0")
             p = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                             dtype=jnp.float32, param_dtype=jnp.float32, name=f"input_proj_{i}_1")(p)
+                             dtype=jnp.float32 if train else p.dtype,
+                             param_dtype=jnp.float32, name=f"input_proj_{i}_1")(p)
             h, w = p.shape[1], p.shape[2]
             feats_l.append(p.reshape(B, h * w, self.hd))
             shapes.append((h, w))
@@ -295,7 +296,7 @@ class RTDETRDecoder(nn.Module):
         # -- encoder head + query selection (reference _get_decoder_input) --
         features = nn.Dense(self.hd, dtype=self.dtype, param_dtype=jnp.float32,
                             kernel_init=nn.initializers.xavier_uniform(), name="enc_output_0")(valid * feats)
-        features = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, param_dtype=jnp.float32, name="enc_output_1")(features)
+        features = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=self.dtype, param_dtype=jnp.float32, name="enc_output_1")(features)
         enc_scores_all = nn.Dense(self.nc, dtype=self.dtype, param_dtype=jnp.float32,
                                   bias_init=nn.initializers.constant(bias_cls), name="enc_score_head")(features)
         nq = min(self.nq, features.shape[1])  # tiny inputs may have < nq anchors

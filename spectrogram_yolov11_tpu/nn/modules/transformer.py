@@ -84,12 +84,12 @@ def _encoder_layer_body(mod: nn.Module, src, pos, c1: int, cm: int, num_heads: i
     TransformerEncoderLayer, flattening these names into the layer itself."""
     q = k = src if pos is None else src + pos
     src2 = MultiheadAttention(c1, num_heads, dtype=dtype, name="ma", parent=mod)(q, k, src)
-    src = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, param_dtype=jnp.float32, name="norm1", parent=mod)(src + src2)
+    src = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=dtype, param_dtype=jnp.float32, name="norm1", parent=mod)(src + src2)
     src2 = nn.Dense(cm, dtype=dtype, param_dtype=jnp.float32, name="fc1", parent=mod)(src)
     src2 = nn.Dense(c1, dtype=dtype, param_dtype=jnp.float32, name="fc2", parent=mod)(
         jax.nn.gelu(src2, approximate=False)
     )
-    return nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, param_dtype=jnp.float32, name="norm2", parent=mod)(src + src2)
+    return nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=dtype, param_dtype=jnp.float32, name="norm2", parent=mod)(src + src2)
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -355,15 +355,15 @@ class DeformableTransformerDecoderLayer(nn.Module):
         tgt = MultiheadAttention(self.d_model, self.n_heads, dtype=self.dtype, name="self_attn")(
             q, k, embed, attn_mask=attn_mask
         )
-        embed = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, param_dtype=jnp.float32, name="norm1")(embed + tgt)
+        embed = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(embed + tgt)
         tgt = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points, dtype=self.dtype,
                            name="cross_attn")(
             embed if query_pos is None else embed + query_pos, refer_bbox[:, :, None], feats, shapes
         )
-        embed = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, param_dtype=jnp.float32, name="norm2")(embed + tgt)
+        embed = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(embed + tgt)
         tgt2 = nn.Dense(self.d_ffn, dtype=self.dtype, param_dtype=jnp.float32, name="linear1")(embed)
         tgt2 = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name="linear2")(jax.nn.relu(tgt2))
-        return nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, param_dtype=jnp.float32, name="norm3")(embed + tgt2)
+        return nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=self.dtype, param_dtype=jnp.float32, name="norm3")(embed + tgt2)
 
 
 class TransformerLayer(nn.Module):

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import ast
 import contextlib
+import copy
 import re
 import time
 from pathlib import Path
@@ -387,6 +388,7 @@ class YOLOGraph(nn.Module):
     save: Tuple[int, ...]
     dtype: Optional[Any] = None
     default_act: str = "silu"
+    deploy: bool = False  # re-parameterized RepConv form (see fuse_model)
 
     def setup(self):
         layers = []
@@ -519,7 +521,8 @@ class BaseModel:
         if dtype != self.dtype:
             self.dtype = dtype
             self.graph = YOLOGraph(specs=tuple(self.specs), save=tuple(self.save), dtype=dtype,
-                                   default_act=getattr(self, "default_act", "silu"))
+                                   default_act=getattr(self, "default_act", "silu"),
+                                   deploy=getattr(self.graph, "deploy", False))
         return self
 
     # -- shape/stride calibration (reference: nn/tasks.py:354 dummy forward) --
@@ -849,3 +852,58 @@ def build_model(cfg: Union[str, Path, dict], ch: int = 3, nc: Optional[int] = No
     task = task or guess_model_task(d)
     cls = TASK2MODELCLS[task]
     return cls(d, ch=ch, nc=nc, verbose=verbose, dtype=dtype)
+
+
+def _is_repconv_subtree(p) -> bool:
+    try:
+        k3 = p["conv1"]["conv"]["kernel"]
+        k1 = p["conv2"]["conv"]["kernel"]
+    except (TypeError, KeyError):
+        return False
+    return (
+        isinstance(p["conv1"], dict) and "bn" in p["conv1"] and "bn" in p["conv2"]
+        and getattr(k3, "ndim", 0) == 4 and getattr(k1, "ndim", 0) == 4
+        and k3.shape[:2] == (3, 3) and k1.shape[:2] == (1, 1) and k3.shape[2:] == k1.shape[2:]
+    )
+
+
+def fuse_model(model: BaseModel, variables: dict):
+    """Deploy-time re-parameterization (reference BaseModel.fuse,
+    nn/tasks.py:240 + RepConv.fuse_convs, conv.py:1090): fold every RepConv's
+    parallel branches (3x3+BN, 1x1+BN, optional identity BN) into ONE biased
+    3x3 conv. Returns (deploy_model, deploy_variables); the input pair is
+    untouched. Plain conv+BN pairs are NOT folded here — XLA already fuses
+    affine epilogues at jit time — only the parallel-branch topology, which
+    the compiler cannot simplify. Returns (model, variables) unchanged when
+    the graph contains no RepConv (fuse is then a no-op, as in the
+    reference for already-fused models)."""
+    from spectrogram_yolov11_tpu.nn.modules.conv import fuse_repconv
+
+    found = [False]
+
+    def walk(p, s):
+        if isinstance(p, dict) and _is_repconv_subtree(p):
+            found[0] = True
+            k, b = fuse_repconv(p, s or {})
+            return {"reparam": {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}}, None
+        if not isinstance(p, dict):
+            return p, s
+        new_p, new_s = {}, {}
+        for key in set(p) | set(s or {}):
+            sp, ss = walk(p.get(key), (s or {}).get(key))
+            if sp is not None:
+                new_p[key] = sp
+            if ss is not None and (isinstance(ss, dict) and ss or not isinstance(ss, dict)):
+                new_s[key] = ss
+        return new_p, (new_s or None)
+
+    params2, stats2 = walk(variables["params"], variables.get("batch_stats", {}))
+    if not found[0]:
+        return model, variables
+    deploy_vars = dict(variables)
+    deploy_vars["params"] = params2
+    deploy_vars["batch_stats"] = stats2 or {}
+    m2 = copy.copy(model)
+    m2.graph = YOLOGraph(specs=tuple(model.specs), save=tuple(model.save), dtype=model.dtype,
+                         default_act=getattr(model, "default_act", "silu"), deploy=True)
+    return m2, deploy_vars

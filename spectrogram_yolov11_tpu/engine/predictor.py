@@ -74,7 +74,9 @@ class BasePredictor:
         # input pair untouched for graphs without RepConvs. The facade's
         # model/variables stay in train form — only this predictor holds the
         # fused copy.
-        if hasattr(model, "graph"):
+        if hasattr(model, "graph") and isinstance(variables, dict):
+            # EnsemblePredictor passes a TUPLE of per-member variable trees
+            # and fuses each member itself before calling up (ADVICE r3).
             from spectrogram_yolov11_tpu.nn.tasks import fuse_model
 
             model, variables = fuse_model(model, variables)
@@ -420,6 +422,11 @@ class EnsemblePredictor(BasePredictor):
     Members may differ in architecture but must share nc."""
 
     def __init__(self, members, overrides=None):
+        from spectrogram_yolov11_tpu.nn.tasks import fuse_model
+
+        # deploy-time RepConv fuse per member (BasePredictor skips the fuse
+        # for the tuple-of-variables it receives from here)
+        members = [fuse_model(m, v) if hasattr(m, "graph") else (m, v) for m, v in members]
         models = [m for m, _ in members]
         assert len({m.nc for m in models}) == 1, "ensemble members must share nc"
         super().__init__(models[0], tuple(v for _, v in members), overrides)

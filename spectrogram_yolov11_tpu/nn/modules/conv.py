@@ -464,7 +464,10 @@ class RepConv(nn.Module):
         # no global mode flag, correct under any nesting (RepC3/RepCSP) and
         # for direct module use. init never sees "reparam" -> train form.
         if not train and self.has_variable("params", "reparam"):
-            y = conv2d(x, self.c2, self.k, self.s, self.p, self.g, self.d, True, self.dtype, "reparam")
+            # d=1 always: the train-form branches build conv1/conv2 with
+            # default dilation 1 (matching the reference, whose fused conv
+            # inherits conv1's dilation), so the deploy form must too
+            y = conv2d(x, self.c2, self.k, self.s, self.p, self.g, 1, True, self.dtype, "reparam")
             return get_act(self.act)(y).astype(self.dtype or in_dt)
         y1 = Conv(self.c1, self.c2, self.k, self.s, p=self.p, g=self.g, act=False, dtype=self.dtype, name="conv1")(x, train)
         y2 = Conv(self.c1, self.c2, 1, self.s, p=self.p - self.k // 2, g=self.g, act=False, dtype=self.dtype, name="conv2")(x, train)

@@ -854,17 +854,27 @@ def build_model(cfg: Union[str, Path, dict], ch: int = 3, nc: Optional[int] = No
     return cls(d, ch=ch, nc=nc, verbose=verbose, dtype=dtype)
 
 
-def _is_repconv_subtree(p) -> bool:
+def _is_repconv_subtree(p, s) -> bool:
     try:
         k3 = p["conv1"]["conv"]["kernel"]
         k1 = p["conv2"]["conv"]["kernel"]
     except (TypeError, KeyError):
         return False
-    return (
+    if not (
         isinstance(p["conv1"], dict) and "bn" in p["conv1"] and "bn" in p["conv2"]
         and getattr(k3, "ndim", 0) == 4 and getattr(k1, "ndim", 0) == 4
         and k3.shape[:2] == (3, 3) and k1.shape[:2] == (1, 1) and k3.shape[2:] == k1.shape[2:]
-    )
+    ):
+        return False
+    # the fold needs every branch's BN statistics — a params-only tree must
+    # be left untouched rather than KeyError inside fuse_repconv (ADVICE r3)
+    try:
+        s["conv1"]["bn"]["var"], s["conv2"]["bn"]["var"]
+        if "bn" in p:
+            s["bn"]["var"]
+    except (TypeError, KeyError):
+        return False
+    return True
 
 
 def fuse_model(model: BaseModel, variables: dict):
@@ -880,9 +890,17 @@ def fuse_model(model: BaseModel, variables: dict):
     from spectrogram_yolov11_tpu.nn.modules.conv import fuse_repconv
 
     found = [False]
+    # DDWConv (fork.py) is conv1=3x3 Conv + conv2=1x1 Conv too and passes the
+    # shape test whenever c1 == 8*c2 (ADVICE r3) — its top-level layers are
+    # excluded by graph spec. (DDWConv only ever appears as a YAML-level
+    # module, never nested inside a composite block.)
+    skip_top = {
+        f"model_{sp.i}" for sp in getattr(model, "specs", ())
+        if getattr(getattr(sp, "cls", None), "__name__", "") == "DDWConv"
+    }
 
-    def walk(p, s):
-        if isinstance(p, dict) and _is_repconv_subtree(p):
+    def walk(p, s, top=False):
+        if isinstance(p, dict) and _is_repconv_subtree(p, s):
             found[0] = True
             k, b = fuse_repconv(p, s or {})
             return {"reparam": {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}}, None
@@ -890,14 +908,17 @@ def fuse_model(model: BaseModel, variables: dict):
             return p, s
         new_p, new_s = {}, {}
         for key in set(p) | set(s or {}):
-            sp, ss = walk(p.get(key), (s or {}).get(key))
+            if top and key in skip_top:
+                sp, ss = p.get(key), (s or {}).get(key)
+            else:
+                sp, ss = walk(p.get(key), (s or {}).get(key))
             if sp is not None:
                 new_p[key] = sp
             if ss is not None and (isinstance(ss, dict) and ss or not isinstance(ss, dict)):
                 new_s[key] = ss
         return new_p, (new_s or None)
 
-    params2, stats2 = walk(variables["params"], variables.get("batch_stats", {}))
+    params2, stats2 = walk(variables["params"], variables.get("batch_stats", {}), top=True)
     if not found[0]:
         return model, variables
     deploy_vars = dict(variables)

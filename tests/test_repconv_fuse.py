@@ -85,6 +85,57 @@ def test_fuse_model_graph_parity():
     np.testing.assert_allclose(np.asarray(again), np.asarray(ref), atol=0)
 
 
+def test_fuse_model_skips_ddwconv_false_positive():
+    """DDWConv's param layout (conv1=3x3 + conv2=1x1, both with bn) shape-matches
+    a RepConv whenever c1 == 8*c2; fuse_model must leave it untouched (ADVICE r3)."""
+    cfg = {
+        "nc": 2,
+        "backbone": [
+            [-1, 1, "Conv", [64, 3, 2]],
+            [-1, 1, "DDWConv", [8, 3, 2]],  # c1=64 == 8*c2=8 -> shape-degenerate corner
+        ],
+        "head": [[-1, 1, "Classify", [2]]],
+    }
+    m = build_model(cfg, verbose=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(1))
+    ref = m.apply(v, x, train=False)
+    m2, v2 = fuse_model(m, v)
+    flat = jax.tree_util.tree_flatten_with_path(v2["params"])[0]
+    paths = ["/".join(str(p) for p in kp) for kp, _ in flat]
+    assert not any("reparam" in p for p in paths)
+    got = m2.apply(v2, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+
+
+def test_fuse_model_params_only_tree_left_untouched():
+    """A params-only tree (no batch_stats for the RepConv branches) must not
+    KeyError inside fuse_repconv — the subtree stays in train form (ADVICE r3)."""
+    cfg = {
+        "nc": 3,
+        "backbone": [[-1, 1, "Conv", [16, 3, 2]], [-1, 1, "RepC3", [16]]],
+        "head": [[-1, 1, "Classify", [3]]],
+    }
+    m = build_model(cfg, verbose=False)
+    v = m.init(jax.random.PRNGKey(0))
+    stripped = {"params": v["params"]}  # no batch_stats at all
+    m2, v2 = fuse_model(m, stripped)
+    assert m2 is m and v2 is stripped
+
+
+def test_repconv_deploy_ignores_dilation():
+    """RepConv(d != 1): train branches use dilation 1, so the fused deploy
+    form must too (reference fused conv inherits conv1's dilation=1)."""
+    mod = RepConv(8, 8, d=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 9, 9, 8), jnp.float32)
+    v = mod.init(jax.random.PRNGKey(1), x)
+    ref = mod.apply(v, x, train=False)
+    k, b = fuse_repconv(v["params"], v["batch_stats"])
+    got = mod.apply({"params": {"reparam": {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}}},
+                    x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
 def test_fuse_model_noop_without_repconv():
     cfg = {
         "nc": 2,

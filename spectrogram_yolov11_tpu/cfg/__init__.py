@@ -60,8 +60,11 @@ CFG_BOOL_KEYS = {
     "val", "save_json", "save_hybrid", "half", "dnn", "plots", "show", "save_txt", "save_conf",
     "save_crop", "save_frames", "show_labels", "show_conf", "visualize", "augment", "agnostic_nms",
     "retina_masks", "show_boxes", "keras", "optimize", "int8", "dynamic", "simplify", "nms",
-    "profile", "multi_scale", "device_augment",
+    "profile", "multi_scale",
 }
+# bool or the string "auto" (device_augment: auto = on when the warp is
+# separable — degrees/shear/perspective all 0, the reference defaults)
+CFG_BOOL_OR_AUTO_KEYS = {"device_augment"}
 
 
 def cfg2dict(cfg: str | Path | dict | SimpleNamespace) -> dict:
@@ -110,6 +113,13 @@ def check_cfg(cfg: dict, hard: bool = True) -> None:
             if hard:
                 raise TypeError(f"'{k}={v}' must be a bool")
             cfg[k] = bool(v)
+        elif k in CFG_BOOL_OR_AUTO_KEYS and not isinstance(v, bool):
+            if isinstance(v, str) and v.lower() == "auto":
+                cfg[k] = "auto"
+            elif hard:
+                raise TypeError(f"'{k}={v}' must be a bool or 'auto'")
+            else:
+                cfg[k] = bool(v)
 
 
 def get_cfg(cfg: str | Path | dict | SimpleNamespace = DEFAULT_CFG, overrides: dict | None = None) -> IterableSimpleNamespace:

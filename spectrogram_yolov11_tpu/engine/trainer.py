@@ -211,12 +211,26 @@ class BaseTrainer:
         if self.variables is None:
             self.variables = self.model.init(jax.random.PRNGKey(self.args.seed), imgsz=64)
 
+    def _resolve_device_augment(self) -> bool:
+        """device_augment=auto -> on iff the warp is separable (degrees/shear/
+        perspective all 0 — the reference's default hyps) and multi_scale is
+        off; the dataset still falls back cleanly if mixup/copy_paste/
+        albumentations force host mode (data/augment.py)."""
+        da = getattr(self.args, "device_augment", False)
+        if isinstance(da, str) and da.lower() == "auto":
+            h = self.args
+            separable = not (float(h.degrees or 0) or float(h.shear or 0) or float(h.perspective or 0))
+            da = separable and not bool(getattr(h, "multi_scale", False))
+            if da:
+                LOGGER.info("device_augment=auto -> on (separable warp); image augmentation runs on-device in the train step")
+        return bool(da)
+
     def build_dataset(self, split: str, augment: bool) -> YOLODataset:
         return YOLODataset(
             self.data[split],
             imgsz=self.imgsz,
             augment=augment,
-            device_augment=bool(getattr(self.args, "device_augment", False)) and augment and split == "train",
+            device_augment=self._resolve_device_augment() and augment and split == "train",
             hyp=self.args,
             nc=self.data["nc"],
             max_gt=0,  # auto-sized from the dataset's labels (dataset.py)

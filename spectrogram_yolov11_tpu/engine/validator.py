@@ -432,8 +432,39 @@ class SegmentationValidator(DetectionValidator):
 
         return run
 
+    @staticmethod
+    def _unletterbox_mask(mask: np.ndarray, ratio: float, dw: float, dh: float,
+                          ow: int, oh: int, imgsz: int) -> np.ndarray:
+        """Mask at any letterbox-space resolution -> bool mask at native
+        (oh, ow) (reference segment/val.py pred_to_json: upsampled mask ->
+        ops.scale_image crop+resize -> single_encode)."""
+        import cv2
+
+        hm, wm = mask.shape
+        sx, sy = wm / imgsz, hm / imgsz
+        left, top = int(round(dw * sx)), int(round(dh * sy))
+        w_c = max(1, int(round((imgsz - 2 * dw) * sx)))
+        h_c = max(1, int(round((imgsz - 2 * dh) * sy)))
+        crop = mask[top:top + h_c, left:left + w_c].astype(np.float32)
+        return cv2.resize(crop, (ow, oh), interpolation=cv2.INTER_LINEAR) > 0.5
+
     def update_stats(self, out, batch, i):
         out_np, nv, masks = out
+        if self.args.save_json:
+            from spectrogram_yolov11_tpu.ops.cocoeval import rle_encode
+
+            ori_h, ori_w = (int(x) for x in batch["ori_shape"][i])
+            ratio, dw, dh = (float(x) for x in batch["ratio_pad"][i])
+            self._cur_pred_rles = [
+                rle_encode(self._unletterbox_mask(np.asarray(m), ratio, dw, dh, ori_w, ori_h, self.imgsz))
+                for m in masks[i, :int(nv[i])]
+            ]
+            gt_inst = np.asarray(batch["masks"][i])
+            n_gt = int(batch["mask_gt"][i].sum())
+            self._cur_gt_rles = [
+                rle_encode(self._unletterbox_mask(gt_inst == (j + 1), ratio, dw, dh, ori_w, ori_h, self.imgsz))
+                for j in range(n_gt)
+            ]
         super().update_stats((out_np, nv), batch, i)
         n = int(nv[i])
         gt_cls = self.stats["target_cls"][-1]
@@ -450,6 +481,32 @@ class SegmentationValidator(DetectionValidator):
         iou_m = np.asarray(mask_iou(jnp.asarray(m_gt, jnp.float32), jnp.asarray(m_pred, jnp.float32)))
         tp_m = match_predictions(det_cls, gt_cls, iou_m, self.iouv)
         self.stats.setdefault("tp_m", []).append(tp_m)
+
+    def _pred_to_json(self, det: np.ndarray) -> None:
+        """Adds the RLE mask to each bbox row (reference segment/val.py:249)."""
+        start = len(self.jdict)
+        super()._pred_to_json(det)
+        for row, rle in zip(self.jdict[start:], self._cur_pred_rles):
+            row["segmentation"] = rle
+
+    def _gt_to_json(self, gt_cls, gxyxy) -> None:
+        start = len(self.gt_jdict)
+        super()._gt_to_json(gt_cls, gxyxy)
+        for row, rle in zip(self.gt_jdict[start:], self._cur_gt_rles):
+            row["segmentation"] = rle
+
+    def _save_json(self) -> dict:
+        """bbox protocol + RLE-mask segm protocol (reference
+        segment/val.py:249-282 eval_json runs both COCOeval('bbox') and
+        COCOeval('segm'); mask-metric keys get the reference's (M) suffix)."""
+        stats = super()._save_json()
+        if self.gt_jdict:
+            from spectrogram_yolov11_tpu.ops.cocoeval import COCOeval
+
+            m = COCOeval(self.gt_jdict, self.jdict, iou_type="segm").evaluate().stats
+            LOGGER.info("COCO protocol (segm): AP {AP:.4f}  AP50 {AP50:.4f}".format(**m))
+            stats.update({f"{k}(M)": v for k, v in m.items()})
+        return stats
 
     def get_metrics(self):
         metrics = SegmentMetrics(names=self.names)
@@ -495,17 +552,8 @@ class PoseValidator(DetectionValidator):
 
     def update_stats(self, out, batch, i):
         out_np, nv = out[0], out[1]
-        super().update_stats((out_np, nv), batch, i)
         n = int(nv[i])
-        gt_cls = self.stats["target_cls"][-1]
         nk, nd = self.kpt_shape
-        key = "tp_p"
-        if n == 0:
-            self.stats.setdefault(key, []).append(np.zeros((0, 10), bool))
-            return
-        if not len(gt_cls):
-            self.stats.setdefault(key, []).append(np.zeros((n, 10), bool))
-            return
         ratio, dw, dh = (float(x) for x in batch["ratio_pad"][i])
         pk = out_np[i, :n, 6:].reshape(n, nk, -1).copy()
         pk[..., 0] = (pk[..., 0] - dw) / ratio
@@ -514,6 +562,17 @@ class PoseValidator(DetectionValidator):
         gk = batch["keypoints"][i][m].copy()  # normalized letterbox coords
         gk[..., 0] = (gk[..., 0] * self.imgsz - dw) / ratio
         gk[..., 1] = (gk[..., 1] * self.imgsz - dh) / ratio
+        if self.args.save_json:
+            self._cur_pred_kpts, self._cur_gt_kpts = pk, gk
+        super().update_stats((out_np, nv), batch, i)
+        gt_cls = self.stats["target_cls"][-1]
+        key = "tp_p"
+        if n == 0:
+            self.stats.setdefault(key, []).append(np.zeros((0, 10), bool))
+            return
+        if not len(gt_cls):
+            self.stats.setdefault(key, []).append(np.zeros((n, 10), bool))
+            return
         _, gxyxy = _gt_native(batch, i, self.imgsz)
         area = (gxyxy[:, 2] - gxyxy[:, 0]) * (gxyxy[:, 3] - gxyxy[:, 1]) * 0.53
         # COCO OKS protocol for standard 17-kpt pose (reference pose/val.py:70)
@@ -521,6 +580,42 @@ class PoseValidator(DetectionValidator):
         iou_p = np.asarray(kpt_iou(jnp.asarray(gk), jnp.asarray(pk), jnp.asarray(area), sigma))
         tp_p = match_predictions(out_np[i, :n, 5].astype(int), gt_cls, iou_p, self.iouv)
         self.stats.setdefault(key, []).append(tp_p)
+
+    def _pred_to_json(self, det: np.ndarray) -> None:
+        """Adds flat [x, y, score]*nk keypoints to each bbox row (reference
+        pose/val.py pred_to_json: 'keypoints': p[6:])."""
+        start = len(self.jdict)
+        super()._pred_to_json(det)
+        for row, kp in zip(self.jdict[start:], self._cur_pred_kpts):
+            k = np.asarray(kp, float)
+            score = k[:, 2] if k.shape[1] > 2 else np.ones(len(k))
+            row["keypoints"] = np.stack([k[:, 0], k[:, 1], score], -1).reshape(-1).round(3).tolist()
+
+    def _gt_to_json(self, gt_cls, gxyxy) -> None:
+        start = len(self.gt_jdict)
+        super()._gt_to_json(gt_cls, gxyxy)
+        for row, kp in zip(self.gt_jdict[start:], self._cur_gt_kpts):
+            k = np.asarray(kp, float)
+            vis = k[:, 2] if k.shape[1] > 2 else np.ones(len(k))
+            vis = (vis > 0).astype(float) * 2.0  # visible -> v=2 (COCO labelled+visible)
+            row["keypoints"] = np.stack([k[:, 0], k[:, 1], vis], -1).reshape(-1).round(3).tolist()
+            row["num_keypoints"] = int((vis > 0).sum())
+
+    def _save_json(self) -> dict:
+        """bbox protocol + OKS keypoints protocol (reference pose/val.py:136+
+        eval_json runs COCOeval('bbox') and COCOeval('keypoints'); keypoint
+        keys get the reference's (P) suffix)."""
+        stats = super()._save_json()
+        if self.gt_jdict:
+            from spectrogram_yolov11_tpu.ops.cocoeval import COCOeval
+
+            nk = self.kpt_shape[0]
+            sigmas = OKS_SIGMA if tuple(self.kpt_shape) == (17, 3) else np.full(nk, 1.0 / nk)
+            p = COCOeval(self.gt_jdict, self.jdict, iou_type="keypoints",
+                         kpt_sigmas=sigmas).evaluate().stats
+            LOGGER.info("COCO protocol (keypoints): AP {AP:.4f}  AP50 {AP50:.4f}".format(**p))
+            stats.update({f"{k}(P)": v for k, v in p.items()})
+        return stats
 
     def get_metrics(self):
         metrics = PoseMetrics(names=self.names)

@@ -58,7 +58,9 @@ class RTDETRTrainer(BaseTrainer):
             num_group=self.dn_num_group, max_nums=self.dn_max_nums,
             cls_noise_ratio=self.label_noise_ratio, box_noise_scale=self.box_noise_scale,
         )
-        x = batch["img"].astype(jnp.float32) / 255.0
+        from spectrogram_yolov11_tpu.engine.trainer import batch_images
+
+        x = batch_images(batch, self._aug_separable)  # host- OR device-augmented
         out, mut = self.model.graph.apply(
             {"params": params, "batch_stats": batch_stats}, x, train=True, mutable=["batch_stats"],
             head_kwargs=dict(dn_cls=dn_cls, dn_bbox=dn_bbox, dn_valid=dn_valid, attn_mask=attn_mask),

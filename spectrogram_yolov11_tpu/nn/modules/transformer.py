@@ -249,6 +249,47 @@ def _patch_bilinear_sample(v_img, px, py):
                       preferred_element_type=jnp.float32)
 
 
+def _packed_bilinear_sample(v_img, px, py):
+    """Bilinear sample via one flat row-take from a space-to-depth table.
+
+    v_img: (N, H, W, c); px/py: (N, S) pixel coords. Returns (N, S, c).
+
+    TPU rationale (measured, round 4): XLA's gather costs ~20-40 ns PER ROW
+    regardless of row width, so throughput is set by row count and by whether
+    the row is one contiguous lane-aligned vector. The 2x2xc patch slice of
+    `_patch_bilinear_sample` spans 2 strided 64-byte segments (~40 ns/row);
+    packing each pixel's 2x2 patch contiguously (space-to-depth into a
+    (N*(H+1)*(W+1), 4c) table, 4c = 128 lanes at c=32) and doing ONE flat
+    jnp.take halves that (measured 12.4 -> 5.9 ms at RT-DETR level-0 shapes
+    bs32; the pack itself is dense streaming, ~1 ms at level 0 and falling
+    quadratically for smaller levels). Border handling is identical to
+    `_patch_bilinear_sample` (zeros padding; clamped taps get weight 0),
+    asserted by tests/test_patch_sampler.py.
+    """
+    N, H, W, c = v_img.shape
+    S = px.shape[1]
+    Hp, Wp = H + 1, W + 1
+    vp = jnp.pad(v_img, ((0, 0), (1, 1), (1, 1), (0, 0)))  # (N, H+2, W+2, c)
+    packed = jnp.concatenate(  # entry (y, x) holds the 2x2 patch at vp[y:y+2, x:x+2]
+        [vp[:, :-1, :-1], vp[:, :-1, 1:], vp[:, 1:, :-1], vp[:, 1:, 1:]], -1
+    ).reshape(N * Hp * Wp, 4 * c)
+    pxp = px.astype(jnp.float32) + 1.0
+    pyp = py.astype(jnp.float32) + 1.0
+    x0 = jnp.clip(jnp.floor(pxp), 0, W).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(pyp), 0, H).astype(jnp.int32)
+    gid = (jnp.arange(N, dtype=jnp.int32)[:, None] * (Hp * Wp) + y0 * Wp + x0).reshape(-1)
+    rows = jnp.take(packed, gid, axis=0).reshape(N, S, 2, 2, c)  # tap order (y, x)
+    wx1 = jnp.maximum(0.0, 1.0 - jnp.abs(pxp - x0.astype(jnp.float32)))
+    wx2 = jnp.maximum(0.0, 1.0 - jnp.abs(pxp - (x0 + 1).astype(jnp.float32)))
+    wy1 = jnp.maximum(0.0, 1.0 - jnp.abs(pyp - y0.astype(jnp.float32)))
+    wy2 = jnp.maximum(0.0, 1.0 - jnp.abs(pyp - (y0 + 1).astype(jnp.float32)))
+    wy = jnp.stack([wy1, wy2], -1)
+    wx = jnp.stack([wx1, wx2], -1)
+    # f32 accumulation regardless of the value dtype (matches _patch_bilinear_sample)
+    return jnp.einsum("nsyxc,nsy,nsx->nsc", rows, wy, wx,
+                      preferred_element_type=jnp.float32)
+
+
 def ms_deformable_attention(value, shapes: Sequence[Tuple[int, int]], sampling_locations, attention_weights):
     """Multi-scale deformable attention core (reference: nn/modules/utils.py:42).
 
@@ -268,7 +309,7 @@ def ms_deformable_attention(value, shapes: Sequence[Tuple[int, int]], sampling_l
         loc = sampling_locations[:, :, :, lvl]  # (B, Lq, nh, np, 2)
         px = (loc[..., 0] * W - 0.5).transpose(0, 2, 1, 3).reshape(B * nh, Lq * npts)
         py = (loc[..., 1] * H - 0.5).transpose(0, 2, 1, 3).reshape(B * nh, Lq * npts)
-        s = _patch_bilinear_sample(v, px, py)  # (B*nh, Lq*np, c)
+        s = _packed_bilinear_sample(v, px, py)  # (B*nh, Lq*np, c)
         sampled.append(s.reshape(B * nh, Lq, npts, c))
     sv = jnp.stack(sampled, axis=2)  # (B*nh, Lq, nl, np, c)
     aw = attention_weights.transpose(0, 2, 1, 3, 4).reshape(B * nh, Lq, len(shapes), npts)

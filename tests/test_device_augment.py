@@ -280,3 +280,26 @@ def test_device_mode_segment_pose_labels(kind):
         for k in keys:
             assert np.array_equal(oh[k], od[k]), f"{k} mismatch at seed {seed}"
         assert "img" not in od and od["aug_src"].shape == (4, S, S, 3)
+
+
+def test_device_augment_auto_resolution():
+    """device_augment=auto (the default) resolves to on for separable hyps
+    (degrees=shear=perspective=0, the reference defaults) and to off when the
+    warp is non-separable or multi_scale is set."""
+    from spectrogram_yolov11_tpu.cfg import get_cfg
+    from spectrogram_yolov11_tpu.engine.trainer import BaseTrainer
+    from spectrogram_yolov11_tpu.utils import DEFAULT_CFG
+
+    assert get_cfg(DEFAULT_CFG).device_augment == "auto"  # shipping default
+
+    t = BaseTrainer.__new__(BaseTrainer)
+    t.args = get_cfg(DEFAULT_CFG)
+    assert t._resolve_device_augment() is True
+    t.args = get_cfg(DEFAULT_CFG, dict(degrees=10.0))
+    assert t._resolve_device_augment() is False
+    t.args = get_cfg(DEFAULT_CFG, dict(multi_scale=True))
+    assert t._resolve_device_augment() is False
+    t.args = get_cfg(DEFAULT_CFG, dict(device_augment=False))
+    assert t._resolve_device_augment() is False
+    t.args = get_cfg(DEFAULT_CFG, dict(device_augment=True, degrees=10.0))
+    assert t._resolve_device_augment() is True  # explicit True wins (general sampler)

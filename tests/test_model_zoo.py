@@ -1,6 +1,8 @@
-"""YAML-zoo instantiation sweep (reference: tests/test_python.py:219
-test_all_model_yamls) — every packaged model config must parse, build, and
-abstractly forward (jax.eval_shape: structure without compute)."""
+"""YAML-zoo sweep (reference: tests/test_python.py:219 test_all_model_yamls)
+— every packaged model config must parse, build, and run a REAL tiny forward
+(imgsz=64, CPU) with finite-value asserts. eval_shape-only coverage cannot
+catch NaN/Inf from a bad Fusion mode or a divide-by-zero in an attention
+block (round-3 verdict weak #4); the reference forwards every yaml too."""
 
 from pathlib import Path
 
@@ -28,13 +30,16 @@ def test_model_yaml_builds_and_forwards(yaml_path):
         # mismatch in the reference too) — verified against the oracle
         d["scale"] = "l"
     m = build_model(d, verbose=False)
-    x = jnp.zeros((1, 128, 128, 3))
+    import numpy as np
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
     kw = {}
     if m.task == "world":  # text guidance is a second graph input
         kw["txt_feats"] = jnp.zeros((1, m.nc, 512))
-    vs = jax.eval_shape(lambda: m.graph.init(jax.random.PRNGKey(0), x, train=False, **kw))
-    out = jax.eval_shape(lambda v: m.graph.apply(v, x, train=False, **kw), vs)
-    assert out is not None
+    v = m.graph.init(jax.random.PRNGKey(0), x, train=False, **kw)
+    out = m.graph.apply(v, x, train=False, **kw)
+    leaves = jax.tree_util.tree_leaves(out)
+    assert leaves and all(bool(jnp.all(jnp.isfinite(l))) for l in leaves), yaml_path.stem
 
 
 def test_fork_module_numerics():

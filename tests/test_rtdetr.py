@@ -122,12 +122,21 @@ def test_rtdetr_train_smoke(tmp_path):
     assert "fitness" in metrics
 
 
-def test_patch_bilinear_sample_matches_naive_zeros_padding():
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("impl", ["patch", "packed"])
+def test_patch_bilinear_sample_matches_naive_zeros_padding(impl):
     """_patch_bilinear_sample == naive 4-tap bilinear with zeros padding,
     including taps far outside the map (grid_sample align_corners=False)."""
     import jax.numpy as jnp
 
-    from spectrogram_yolov11_tpu.nn.modules.transformer import _patch_bilinear_sample
+    from spectrogram_yolov11_tpu.nn.modules.transformer import (
+        _packed_bilinear_sample,
+        _patch_bilinear_sample,
+    )
+
+    fn = _patch_bilinear_sample if impl == "patch" else _packed_bilinear_sample
 
     rng = np.random.default_rng(0)
     N, H, W, c, S = 3, 7, 9, 4, 64
@@ -138,7 +147,7 @@ def test_patch_bilinear_sample_matches_naive_zeros_padding():
     py = np.concatenate([rng.uniform(-0.6, H - 0.4, (N, S - 16)),
                          rng.uniform(-30, 30, (N, 16))], axis=1).astype(np.float32)
 
-    out = np.asarray(_patch_bilinear_sample(jnp.asarray(v), jnp.asarray(px), jnp.asarray(py)))
+    out = np.asarray(fn(jnp.asarray(v), jnp.asarray(px), jnp.asarray(py)))
 
     ref = np.zeros((N, S, c), np.float32)
     for n in range(N):

@@ -34,6 +34,9 @@ OUT = REPO / "runs" / "parity"
 DATA_DIR = REPO / "datasets" / "spectrogram_synth"
 EPOCHS, IMGSZ, BATCH = 40, 320, 16
 
+# device_augment pinned to the host cv2 pipeline: the A/B must run the exact
+# reference augmentation semantics, not the on-TPU resample (which matches
+# cv2 only to interpolation rounding)
 COMMON = dict(imgsz=IMGSZ, batch=BATCH, seed=0, deterministic=True,
               plots=False, exist_ok=True)
 
@@ -66,15 +69,15 @@ def run_ref(epochs: int, imgsz: int) -> dict:
     return out
 
 
-def run_ours(epochs: int, imgsz: int) -> dict:
+def run_ours(epochs: int, imgsz: int, seed: int = 0, name: str = "ours") -> dict:
     from spectrogram_yolov11_tpu import YOLO
 
     m = YOLO("spectrogram_yolo11.yaml")
-    res = m.train(data="spectrogram_synth.yaml", epochs=epochs,
-                  project=str(OUT), name="ours", **{**COMMON, "imgsz": imgsz})
-    out = {"framework": "spectrogram_yolov11_tpu", "epochs": epochs, "imgsz": imgsz,
+    res = m.train(data="spectrogram_synth.yaml", epochs=epochs, device_augment=False,
+                  project=str(OUT), name=name, **{**COMMON, "imgsz": imgsz, "seed": seed})
+    out = {"framework": "spectrogram_yolov11_tpu", "epochs": epochs, "imgsz": imgsz, "seed": seed,
            "map50": float(res["metrics/mAP50(B)"]), "map50_95": float(res["metrics/mAP50-95(B)"])}
-    (OUT / "ours_metrics.json").write_text(json.dumps(out, indent=1))
+    (OUT / f"{name}_metrics.json").write_text(json.dumps(out, indent=1))
     return out
 
 
@@ -128,6 +131,9 @@ if __name__ == "__main__":
         print(run_ref(e, s))
     elif phase == "ours":
         print(run_ours(e, s))
+    elif phase.startswith("ours-seed"):  # e.g. "ours-seed1": seed-variance run
+        sd = int(phase[len("ours-seed"):])
+        print(run_ours(e, s, seed=sd, name=f"ours_s{sd}"))
     elif phase == "ours-val":
         print(val_ours(s))
     elif phase == "cross":

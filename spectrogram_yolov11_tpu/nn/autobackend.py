@@ -89,6 +89,11 @@ class AutoBackend:
 
             # reference AutoBackend fuses on load (nn/autobackend.py:146)
             self.model, self.variables = fuse_model(y.model, y.variables)
+            # checkpoint restore yields HOST numpy leaves; without an explicit
+            # upload every call re-ships ~all params through the dispatch path
+            # (measured: dominates serve-mode latency on the tunneled dev
+            # harness). One device_put pins them in HBM.
+            self.variables = jax.device_put(self.variables)
             if half:  # bf16 compute, the TPU serving fast path (params stay f32)
                 self.model.set_dtype(jnp.bfloat16)
             self.names = y.names

@@ -140,6 +140,21 @@ def load_state_into_variables(variables: dict, converted: dict, strict: bool = T
         want = _tree_paths(converted.get(coll, {}))
         missing = set(have) - set(want)
         extra = set(want) - set(have)
+        # The fork's active HCoordAtt declares conv1+bn1 but never uses them
+        # in forward (reference conv.py:1646-1648 — dead params trained only
+        # by weight decay); our module reproduces the compute (cv1 only), so
+        # those torch leaves legitimately have no destination here.
+        dead = {
+            p for p in extra
+            if len(p) >= 2 and p[-2] in {"conv1", "bn1"}
+            and any(q[: len(p) - 2] == p[:-2] and "cv1" in q for q in have)
+        }
+        if dead:
+            extra -= dead
+            LOGGER.info(
+                f"{coll}: dropped {len(dead)} dead reference leaves "
+                f"(HCoordAtt conv1/bn1 — declared but unused in the reference forward)"
+            )
         if missing:
             problems.append(f"{coll}: {len(missing)} un-filled leaves, e.g. {sorted(missing)[:3]}")
         if extra:

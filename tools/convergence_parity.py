@@ -69,13 +69,14 @@ def run_ref(epochs: int, imgsz: int) -> dict:
     return out
 
 
-def run_ours(epochs: int, imgsz: int, seed: int = 0, name: str = "ours") -> dict:
+def run_ours(epochs: int, imgsz: int, seed: int = 0, name: str = "ours", amp: bool = True) -> dict:
     from spectrogram_yolov11_tpu import YOLO
 
     m = YOLO("spectrogram_yolo11.yaml")
-    res = m.train(data="spectrogram_synth.yaml", epochs=epochs, device_augment=False,
+    res = m.train(data="spectrogram_synth.yaml", epochs=epochs, device_augment=False, amp=amp,
                   project=str(OUT), name=name, **{**COMMON, "imgsz": imgsz, "seed": seed})
     out = {"framework": "spectrogram_yolov11_tpu", "epochs": epochs, "imgsz": imgsz, "seed": seed,
+           "amp": amp,
            "map50": float(res["metrics/mAP50(B)"]), "map50_95": float(res["metrics/mAP50-95(B)"])}
     (OUT / f"{name}_metrics.json").write_text(json.dumps(out, indent=1))
     return out
@@ -87,7 +88,9 @@ def val_ours(imgsz: int) -> dict:
 
     m = YOLO(str(OUT / "ours" / "weights" / "best.ckpt"))
     res = m.val(data="spectrogram_synth.yaml", imgsz=imgsz, batch=BATCH, plots=False)
-    out = {"framework": "spectrogram_yolov11_tpu", "imgsz": imgsz,
+    prev = json.loads((OUT / "ours_metrics.json").read_text()) if (OUT / "ours_metrics.json").exists() else {}
+    out = {"framework": "spectrogram_yolov11_tpu", "epochs": prev.get("epochs", EPOCHS),
+           "imgsz": imgsz, "checkpoint": "best",
            "map50": float(res["metrics/mAP50(B)"]), "map50_95": float(res["metrics/mAP50-95(B)"])}
     (OUT / "ours_metrics.json").write_text(json.dumps(out, indent=1))
     return out
@@ -134,6 +137,8 @@ if __name__ == "__main__":
     elif phase.startswith("ours-seed"):  # e.g. "ours-seed1": seed-variance run
         sd = int(phase[len("ours-seed"):])
         print(run_ours(e, s, seed=sd, name=f"ours_s{sd}"))
+    elif phase == "ours-f32":  # precision ablation: full-f32 train (amp=False)
+        print(run_ours(e, s, name="ours_f32", amp=False))
     elif phase == "ours-val":
         print(val_ours(s))
     elif phase == "cross":

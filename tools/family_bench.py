@@ -20,7 +20,10 @@ import time
 from pathlib import Path
 
 
-def measure(cfg: str, imgsz: int, bs: int, reps: int = 16, passes: int = 3) -> dict:
+PEAK_TFLOPS = 197.0  # TPU v5e bf16 peak
+
+
+def measure(cfg: str, imgsz: int, bs: int, reps: int = 16, passes: int = 3, mfu: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -32,6 +35,14 @@ def measure(cfg: str, imgsz: int, bs: int, reps: int = 16, passes: int = 3) -> d
     model = build_model(cfg, verbose=False, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0))
     x = jnp.zeros((bs, imgsz, imgsz, 3), jnp.bfloat16)
+
+    flops_per_img = None
+    if mfu:
+        lowered = jax.jit(lambda v, x: model.apply(v, x, train=False)).lower(variables, x)
+        cost = lowered.compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        if cost and cost.get("flops"):
+            flops_per_img = float(cost["flops"]) / bs
 
     @jax.jit
     def scan_reps(v, x):
@@ -51,13 +62,17 @@ def measure(cfg: str, imgsz: int, bs: int, reps: int = 16, passes: int = 3) -> d
         t0 = time.perf_counter()
         float(scan_reps(variables, x))  # true D2H fence
         best = min(best, (time.perf_counter() - t0) / (bs * reps))
-    return {
+    out = {
         "model": cfg,
         "imgsz": imgsz,
         "bs": bs,
         "ms_per_img": round(best * 1e3, 3),
         "img_per_s": round(1.0 / best, 1),
     }
+    if flops_per_img is not None:
+        out["gflops_per_img"] = round(flops_per_img / 1e9, 2)
+        out["mfu"] = round((1.0 / best) * flops_per_img / (PEAK_TFLOPS * 1e12), 4)
+    return out
 
 
 def main() -> None:
@@ -65,10 +80,19 @@ def main() -> None:
     ap.add_argument("configs", nargs="+")
     ap.add_argument("--imgsz", type=int, default=640)
     ap.add_argument("--bs", type=int, default=32)
+    ap.add_argument("--sweep-bs", type=str, default="",
+                    help="comma list of batch sizes; best row is marked best_bs")
+    ap.add_argument("--mfu", action="store_true", help="emit XLA-cost-analysis GFLOPs + measured MFU")
     ap.add_argument("--reps", type=int, default=16)
     args = ap.parse_args()
+    bss = [int(b) for b in args.sweep_bs.split(",") if b] or [args.bs]
     for cfg in args.configs:
-        print(json.dumps(measure(cfg, args.imgsz, args.bs, args.reps)), flush=True)
+        rows = [measure(cfg, args.imgsz, b, args.reps, mfu=args.mfu) for b in bss]
+        best = max(rows, key=lambda r: r["img_per_s"])
+        for r in rows:
+            if len(rows) > 1:
+                r["best_bs"] = r is best
+            print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":

@@ -25,7 +25,9 @@ SUMMARY = Path(__file__).parents[1] / "runs" / "parity" / "summary.json"
 def rows():
     if not SUMMARY.exists():
         pytest.skip("runs/parity/summary.json not generated (run tools/convergence_parity.py)")
-    by = {r["framework"]: r for r in json.loads(SUMMARY.read_text())}
+    by = {}
+    for r in json.loads(SUMMARY.read_text()):
+        by.setdefault(r["framework"], r)  # canonical legs come first; seed/f32 rows follow
     return by
 
 
@@ -56,16 +58,19 @@ def test_cross_ingest_val_protocol_agreement(rows):
 
 
 def test_seed_variance_context():
-    """If seed-variance runs exist, the ref number lies within (or near) the
-    spread of ours-trained results across seeds."""
+    """The two frameworks' trained-mAP seed distributions must overlap:
+    every ours run lies within (or above) the reference's own seed range,
+    extended by one image's worth of mAP (1/32 val images ~ 0.03)."""
     parity = SUMMARY.parent
-    seeds = sorted(parity.glob("ours_s*_metrics.json"))
-    if not (SUMMARY.exists() and seeds):
-        pytest.skip("no seed-variance runs")
-    base = json.loads((parity / "ours_metrics.json").read_text())
-    vals = [base["map50_95"]] + [json.loads(p.read_text())["map50_95"] for p in seeds]
-    ref = next(r for r in json.loads(SUMMARY.read_text()) if r["framework"] == "reference-torch-cpu")
-    spread = max(vals) - min(vals)
-    gap = abs(ref["map50_95"] - sum(vals) / len(vals))
-    # the ref-vs-ours gap is within ~2x the observed seed spread of ours alone
-    assert gap <= max(0.03, 2.0 * spread)
+    if not SUMMARY.exists():
+        pytest.skip("no summary")
+    rows = json.loads(SUMMARY.read_text())
+    refs = [r["map50_95"] for r in rows if r["framework"] == "reference-torch-cpu"]
+    ours = [r["map50_95"] for r in rows if r["framework"] == "spectrogram_yolov11_tpu"]
+    if len(refs) < 2 or len(ours) < 2:
+        pytest.skip("need seed-variance runs on both sides")
+    lo, hi = min(refs), max(refs)
+    tol = 0.03  # one borderline val image on the 32-image split
+    assert all(lo - tol <= v <= hi + tol for v in ours), (refs, ours)
+    # and the means agree to the same one-image tolerance
+    assert abs(sum(refs) / len(refs) - sum(ours) / len(ours)) <= tol

@@ -51,7 +51,7 @@ def _ref_data_yaml() -> Path:
     return p
 
 
-def run_ref(epochs: int, imgsz: int) -> dict:
+def run_ref(epochs: int, imgsz: int, seed: int = 0, name: str = "ref") -> dict:
     """Train + val the reference fork on CPU (torchvision/thop stubbed)."""
     sys.path.insert(0, str(REPO / "tests"))
     from oracle import load_reference
@@ -61,11 +61,11 @@ def run_ref(epochs: int, imgsz: int) -> dict:
 
     m = YOLO(str(Path("/root/reference/ultralytics/cfg/models/11/yolo11_HCA.yaml")))
     res = m.train(data=str(_ref_data_yaml()), epochs=epochs, device="cpu",
-                  workers=2, project=str(OUT), name="ref", amp=False,
-                  **{**COMMON, "imgsz": imgsz})
-    out = {"framework": "reference-torch-cpu", "epochs": epochs, "imgsz": imgsz,
+                  workers=2, project=str(OUT), name=name, amp=False,
+                  **{**COMMON, "imgsz": imgsz, "seed": seed})
+    out = {"framework": "reference-torch-cpu", "epochs": epochs, "imgsz": imgsz, "seed": seed,
            "map50": float(res.box.map50), "map50_95": float(res.box.map)}
-    (OUT / "ref_metrics.json").write_text(json.dumps(out, indent=1))
+    (OUT / f"{name}_metrics.json").write_text(json.dumps(out, indent=1))
     return out
 
 
@@ -117,13 +117,20 @@ def run_cross() -> dict:
 
 def report() -> None:
     rows = []
-    for f in ("ref_metrics.json", "ours_metrics.json", "cross_metrics.json"):
+    names = ["ref_metrics.json", "ours_metrics.json", "cross_metrics.json"]
+    names += sorted(p.name for p in OUT.glob("ref_s*_metrics.json"))
+    names += sorted(p.name for p in OUT.glob("ours_s*_metrics.json"))
+    names += ["ours_f32_metrics.json"]
+    for f in names:
         p = OUT / f
         if p.exists():
-            rows.append(json.loads(p.read_text()))
+            r = json.loads(p.read_text())
+            r["source"] = f
+            rows.append(r)
     (OUT / "summary.json").write_text(json.dumps(rows, indent=1))
     for r in rows:
-        print(f"{r['framework']:35s} mAP50 {r['map50']:.4f}  mAP50-95 {r['map50_95']:.4f}")
+        tag = r["framework"] + (f" [{r['source']}]" if "s" in r.get("source", "") else "")
+        print(f"{tag:55s} mAP50 {r['map50']:.4f}  mAP50-95 {r['map50_95']:.4f}")
 
 
 if __name__ == "__main__":
@@ -139,6 +146,9 @@ if __name__ == "__main__":
         print(run_ours(e, s, seed=sd, name=f"ours_s{sd}"))
     elif phase == "ours-f32":  # precision ablation: full-f32 train (amp=False)
         print(run_ours(e, s, name="ours_f32", amp=False))
+    elif phase.startswith("ref-seed"):  # e.g. "ref-seed1": ref seed-variance run
+        sd = int(phase[len("ref-seed"):])
+        print(run_ref(e, s, seed=sd, name=f"ref_s{sd}"))
     elif phase == "ours-val":
         print(val_ours(s))
     elif phase == "cross":

@@ -549,7 +549,7 @@ def main() -> None:
     # serve-mode steady state so the on-chip vs host-fed story is self-contained
     try:
         serve_stats = bench_serve(quick=True)
-        value_serve = max(v["img_s_2clients"] for v in serve_stats.values())
+        value_serve = max(v["img_s_2clients"] for v in serve_stats.values() if isinstance(v, dict))
     except Exception as e:  # serving must never sink the headline
         serve_stats, value_serve = {"error": str(e)}, None
 

@@ -582,7 +582,7 @@ def main() -> None:
                 "value_serve": value_serve,
                 "serve_sweep": serve_stats,
                 "tunnel_ms": round(tunnel_ms, 2),
-                "latency_ms_on_chip": {str(k): v for k, v in latency_ms.items()},
+                "ms_per_img_on_chip": {str(k): v for k, v in latency_ms.items()},
                 "mfu": round(mfu, 4),
                 "chip_sweep": {str(k): round(v, 1) for k, v in sorted(chip.items())},
             }

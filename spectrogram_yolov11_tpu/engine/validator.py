@@ -266,9 +266,11 @@ class DetectionValidator:
         # Free on one device; tested 1-dev == 8-dev in tests/test_parallel.py.
         mesh = None
         if len(jax.devices()) > 1:
-            from spectrogram_yolov11_tpu.parallel.mesh import batch_sharded, get_mesh, replicated
+            from spectrogram_yolov11_tpu.parallel.mesh import (
+                batch_sharded, get_mesh, replicated, select_devices)
 
-            mesh = get_mesh(batch_size=int(self.dataloader.batch_size))
+            mesh = get_mesh(devices=select_devices(getattr(self.args, "device", None)),
+                            batch_size=int(self.dataloader.batch_size))
             if len(mesh.devices.flat) > 1:
                 sh, rep = batch_sharded(mesh), replicated(mesh)
                 self.variables = jax.device_put(self.variables, rep)
@@ -554,6 +556,16 @@ class PoseValidator(DetectionValidator):
         out_np, nv = out[0], out[1]
         n = int(nv[i])
         nk, nd = self.kpt_shape
+        dk = tuple(self.data.get("kpt_shape") or ()) if isinstance(getattr(self, "data", None), dict) else ()
+        if dk and tuple(dk) != tuple(self.kpt_shape):
+            # fail with a diagnosis instead of a broadcast error deep in
+            # kpt_iou — the reference hits the same wall when a 17-kpt model
+            # vals a 5-kpt dataset (PoseModel binds kpt_shape at build time;
+            # reference nn/tasks.py:445 + pose/val.py)
+            raise ValueError(
+                f"model kpt_shape {self.kpt_shape} != dataset kpt_shape {dk}; "
+                "build the model with the dataset's kpt_shape (train does this "
+                "automatically; for standalone val pass a matching model/cfg)")
         ratio, dw, dh = (float(x) for x in batch["ratio_pad"][i])
         pk = out_np[i, :n, 6:].reshape(n, nk, -1).copy()
         pk[..., 0] = (pk[..., 0] - dw) / ratio
@@ -600,6 +612,12 @@ class PoseValidator(DetectionValidator):
             vis = (vis > 0).astype(float) * 2.0  # visible -> v=2 (COCO labelled+visible)
             row["keypoints"] = np.stack([k[:, 0], k[:, 1], vis], -1).reshape(-1).round(3).tolist()
             row["num_keypoints"] = int((vis > 0).sum())
+            # pycocotools uses the annotation's segmentation area (~0.53x the
+            # bbox area for people) in computeOks, not bbox w*h; match the
+            # factor the internal kpt_iou applies (update_stats above) so the
+            # (P) protocol isn't systematically more lenient than the
+            # internal OKS metric (ADVICE r4).
+            row["area"] = 0.53 * row["bbox"][2] * row["bbox"][3]
 
     def _save_json(self) -> dict:
         """bbox protocol + OKS keypoints protocol (reference pose/val.py:136+

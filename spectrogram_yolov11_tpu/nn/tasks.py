@@ -894,10 +894,12 @@ def fuse_model(model: BaseModel, variables: dict):
     # shape test whenever c1 == 8*c2 (ADVICE r3) — its top-level layers are
     # excluded by graph spec. (DDWConv only ever appears as a YAML-level
     # module, never nested inside a composite block.)
-    skip_top = {
-        f"model_{sp.i}" for sp in getattr(model, "specs", ())
-        if getattr(getattr(sp, "cls", None), "__name__", "") == "DDWConv"
-    }
+    skip_top = set()
+    for sp in getattr(model, "specs", ()):
+        if getattr(getattr(sp, "cls", None), "__name__", "") == "DDWConv":
+            # n>1 specs are named model_{i}_{j} by parse_model (ADVICE r4)
+            skip_top.add(f"model_{sp.i}")
+            skip_top.update(f"model_{sp.i}_{j}" for j in range(getattr(sp, "n", 1)))
 
     def walk(p, s, top=False):
         if isinstance(p, dict) and _is_repconv_subtree(p, s):

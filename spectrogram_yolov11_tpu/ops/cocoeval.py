@@ -113,7 +113,11 @@ def rle_decode(rle: dict) -> np.ndarray:
     vals = np.zeros(len(cnts), dtype=bool)
     vals[1::2] = True
     flat = np.repeat(vals, cnts)
-    return flat.reshape((w, h)).T if flat.size == h * w else np.zeros((h, w), bool)
+    if flat.size != h * w:
+        # a corrupt/truncated RLE must fail loudly, not silently zero the
+        # mask and quietly depress segm AP (ADVICE r4)
+        raise ValueError(f"RLE decodes to {flat.size} px, expected {h}x{w}={h * w}")
+    return flat.reshape((w, h)).T
 
 
 def rle_area(rle: dict) -> float:

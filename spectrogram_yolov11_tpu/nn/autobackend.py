@@ -145,8 +145,22 @@ class AutoBackend:
             if md.get("kpt_shape"):
                 self.kpt_shape = tuple(int(x) for x in md["kpt_shape"])
 
+            # opt-in encoded wire format (serve.py BYTES ingest): ship
+            # per-image JPEG/PNG instead of raw uint8 tensors — cuts the
+            # client->server wire bytes ~10-30x (SYT_WIRE_ENCODE=jpg|png[:q])
+            import os
+
+            wire = os.environ.get("SYT_WIRE_ENCODE", "")
+
             def run(x):
-                outs = self._remote(np.asarray(x))
+                if wire:
+                    from spectrogram_yolov11_tpu.serve import encode_images
+
+                    fmt, _, q = wire.partition(":")
+                    outs = self._remote(encode_images(
+                        np.asarray(x), fmt=f".{fmt.lstrip('.')}", quality=int(q or 90)))
+                else:
+                    outs = self._remote(np.asarray(x))
                 return outs[0] if len(outs) == 1 else tuple(outs)
 
             self._fn = run

@@ -32,6 +32,7 @@ CLI: ``yolo serve model=runs/.../best.ckpt port=8000`` (cfg/__init__.py).
 from __future__ import annotations
 
 import json
+import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -59,6 +60,53 @@ def _np_datatype(arr: np.ndarray) -> str:
         raise ValueError(f"dtype {arr.dtype} has no KServe v2 datatype") from None
 
 
+def encode_images(imgs: np.ndarray, fmt: str = ".jpg", quality: int = 90) -> List[bytes]:
+    """Encode a (N, H, W, C) uint8 batch to per-image JPEG/PNG bytes for the
+    BYTES wire format (Triton's DALI-ensemble deployment pattern: clients ship
+    encoded images, the server decodes into the batch). A 640px gray
+    spectrogram frame compresses ~10-30x vs raw, so the client->server hop
+    stops being the wire bottleneck. fmt: ".jpg" (lossy, quality param) or
+    ".png" (lossless, good on synthetic/gray frames)."""
+    import cv2
+
+    params = [int(cv2.IMWRITE_JPEG_QUALITY), int(quality)] if fmt in (".jpg", ".jpeg") else []
+    out = []
+    for im in np.asarray(imgs):
+        ok, buf = cv2.imencode(fmt, im, params)
+        if not ok:
+            raise ValueError(f"cv2.imencode({fmt}) failed for shape {im.shape}")
+        out.append(buf.tobytes())
+    return out
+
+
+def _decode_images(blobs: List[bytes]) -> np.ndarray:
+    """Per-image encoded bytes -> (N, H, W, C) uint8 batch (server side of the
+    BYTES ingest path). Gray frames come back (H, W) and get a channel dim;
+    all images in one request must decode to the same shape (clients encode
+    already-letterboxed frames)."""
+    import cv2
+
+    ims = []
+    for b in blobs:
+        im = cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_UNCHANGED)
+        if im is None:
+            raise ValueError("cv2.imdecode failed (corrupt or unsupported image bytes)")
+        if im.ndim == 2:
+            im = im[..., None]
+        ims.append(im)
+    return np.stack(ims)
+
+
+class _BatchItem:
+    """One queued request: its images, result slot, and completion event."""
+
+    __slots__ = ("imgs", "out", "err", "done")
+
+    def __init__(self, imgs: np.ndarray):
+        self.imgs, self.out, self.err = imgs, None, None
+        self.done = threading.Event()
+
+
 def _bucket(n: int) -> int:
     """Next power-of-two batch bucket (static-shape reuse; see module doc)."""
     b = 1
@@ -78,7 +126,8 @@ class _ModelRunner:
     """
 
     def __init__(self, source, name: Optional[str] = None, data_parallel: bool = False,
-                 half: bool = False, model_parallel: int = 1):
+                 half: bool = False, model_parallel: int = 1,
+                 dynamic_batch: bool = True, max_batch: int = 256):
         from spectrogram_yolov11_tpu.nn.autobackend import AutoBackend
 
         self.backend = source if isinstance(source, AutoBackend) else AutoBackend(str(source), half=half)
@@ -87,6 +136,19 @@ class _ModelRunner:
         self.lock = threading.Lock()
         self._out_specs: Optional[List[dict]] = None
         self.mesh = None
+        # continuous dynamic batching (Triton dynamic_batching counterpart,
+        # reference utils/triton.py is the client of that server feature):
+        # requests that arrive while the chip is busy accumulate in a queue
+        # and the dispatcher concatenates same-shape requests into ONE device
+        # dispatch — N concurrent clients ride one program execution instead
+        # of serializing N tunnel round-trips behind the lock.
+        self.max_batch = int(max_batch)
+        self._dyn = bool(dynamic_batch)
+        self._q: "queue.Queue" = queue.Queue()
+        self._dispatcher: Optional[threading.Thread] = None
+        if self._dyn:
+            self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
+            self._dispatcher.start()
         if data_parallel or model_parallel > 1:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec
@@ -153,12 +215,22 @@ class _ModelRunner:
             "parameters": {"metadata": json.dumps(meta)},
         }
 
-    def infer(self, inputs: List[np.ndarray]) -> List[np.ndarray]:
+    def _prep(self, inputs: List[np.ndarray]) -> np.ndarray:
+        """Request inputs -> (N, H, W, 3) uint8 batch. Handles the encoded
+        (BYTES: per-image JPEG/PNG) and gray-upload wire formats."""
         imgs = inputs[0]
+        if isinstance(imgs, (list, tuple)) or (
+            isinstance(imgs, np.ndarray) and imgs.dtype == object
+        ):
+            imgs = _decode_images(list(imgs))
         if imgs.ndim == 4 and imgs.shape[-1] == 1:
             # gray-upload clients (spectrogram frames) send ONE channel to cut
             # the HTTP payload 3x; the graph wants 3 (predictor.py _maybe_gray)
             imgs = np.repeat(imgs, 3, axis=-1)
+        return imgs
+
+    def _run_batch(self, imgs: np.ndarray) -> List[np.ndarray]:
+        """One device dispatch: pad to a power-of-two bucket, forward, slice."""
         n = imgs.shape[0]
         nb = _bucket(n)
         if self.mesh is not None:  # batch must split evenly over the mesh
@@ -176,6 +248,53 @@ class _ModelRunner:
         outs = list(out) if isinstance(out, (tuple, list)) else [out]
         return [np.asarray(o)[:n] for o in outs]
 
+    def infer(self, inputs: List[np.ndarray]) -> List[np.ndarray]:
+        imgs = self._prep(inputs)
+        if not self._dyn:
+            return self._run_batch(imgs)
+        item = _BatchItem(imgs)
+        self._q.put(item)
+        item.done.wait()
+        if item.err is not None:
+            raise item.err
+        return item.out
+
+    def _dispatch_loop(self):
+        """Continuous batching: block for one request, then drain everything
+        that queued while the previous dispatch held the chip, group by image
+        shape, and run each group as one concatenated dispatch."""
+        while True:
+            items = [self._q.get()]
+            n = items[0].imgs.shape[0]
+            while n < self.max_batch:
+                try:
+                    nxt = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                items.append(nxt)
+                n += nxt.imgs.shape[0]
+            groups: Dict[tuple, List[_BatchItem]] = {}
+            for it in items:
+                groups.setdefault(it.imgs.shape[1:], []).append(it)
+            for group in groups.values():
+                try:
+                    batch = (
+                        group[0].imgs if len(group) == 1
+                        else np.concatenate([it.imgs for it in group], axis=0)
+                    )
+                    outs = self._run_batch(batch)
+                    off = 0
+                    for it in group:
+                        ni = it.imgs.shape[0]
+                        it.out = [o[off : off + ni] for o in outs]
+                        off += ni
+                except Exception as e:  # surface per-request, keep serving
+                    for it in group:
+                        it.err = e
+                finally:
+                    for it in group:
+                        it.done.set()
+
 
 def _parse_infer_request(headers, body: bytes):
     """Parse a KServe v2 infer request (JSON, with optional binary tensors)."""
@@ -188,8 +307,23 @@ def _parse_infer_request(headers, body: bytes):
     arrays, off = [], 0
     for spec in doc.get("inputs", []):
         shape = [int(d) for d in spec["shape"]]
-        dt = _DT2NP[spec["datatype"]]
         bsize = (spec.get("parameters") or {}).get("binary_data_size")
+        if spec["datatype"] == "BYTES":
+            # KServe BYTES binary layout: per element, 4-byte LE length + raw
+            # bytes (protocol "binary tensor data" extension). Used for the
+            # encoded-image (JPEG/PNG) ingest path.
+            if bsize is None:
+                raise ValueError("BYTES inputs require the binary extension")
+            blob, end, items = raw[off : off + int(bsize)], int(bsize), []
+            p = 0
+            while p + 4 <= end:
+                ln = int.from_bytes(blob[p : p + 4], "little")
+                items.append(bytes(blob[p + 4 : p + 4 + ln]))
+                p += 4 + ln
+            off += int(bsize)
+            arrays.append(items)
+            continue
+        dt = _DT2NP[spec["datatype"]]
         if bsize is not None:
             a = np.frombuffer(raw[off : off + int(bsize)], dtype=dt).reshape(shape)
             off += int(bsize)
@@ -227,7 +361,8 @@ class InferenceServer:
 
     def __init__(self, models: Union[str, Path, Dict[str, object]],
                  host: str = "127.0.0.1", port: int = 8000, data_parallel: bool = False,
-                 half: bool = False, model_parallel: int = 1):
+                 half: bool = False, model_parallel: int = 1,
+                 dynamic_batch: bool = True, max_batch: int = 256):
         from spectrogram_yolov11_tpu.utils import enable_compile_cache
 
         enable_compile_cache()  # restarted servers skip the first-jit compile
@@ -236,7 +371,8 @@ class InferenceServer:
         self.models: Dict[str, _ModelRunner] = {}
         for name, src in models.items():
             r = _ModelRunner(src, name=name, data_parallel=data_parallel, half=half,
-                             model_parallel=model_parallel)
+                             model_parallel=model_parallel,
+                             dynamic_batch=dynamic_batch, max_batch=max_batch)
             self.models[r.name] = r
         self.host, self.port = host, int(port)
         self._httpd: Optional[ThreadingHTTPServer] = None
@@ -382,11 +518,22 @@ class RemoteModel:
         import urllib.request
 
         specs, blobs = [], []
-        for i, x in enumerate(np.asarray(a) for a in inputs):
+        for i, a in enumerate(inputs):
+            name = self.input_names[i] if i < len(self.input_names) else f"input{i}"
+            if isinstance(a, (list, tuple)) and a and isinstance(a[0], (bytes, bytearray)):
+                # encoded-image ingest (see encode_images): KServe BYTES
+                # binary layout = per element 4-byte LE length + raw bytes
+                blob = b"".join(len(b).to_bytes(4, "little") + bytes(b) for b in a)
+                specs.append({
+                    "name": name, "shape": [len(a)], "datatype": "BYTES",
+                    "parameters": {"binary_data_size": len(blob)},
+                })
+                blobs.append(blob)
+                continue
+            x = np.asarray(a)
             if i < len(self.np_input_formats) and x.dtype != self.np_input_formats[i]:
                 x = x.astype(self.np_input_formats[i])
             blob = np.ascontiguousarray(x).tobytes()
-            name = self.input_names[i] if i < len(self.input_names) else f"input{i}"
             specs.append({
                 "name": name, "shape": list(x.shape), "datatype": _np_datatype(x),
                 "parameters": {"binary_data_size": len(blob)},
@@ -552,10 +699,12 @@ class RemotePredictor:
 
 def serve(models, host: str = "127.0.0.1", port: int = 8000,
           block: bool = True, data_parallel: bool = False, half: bool = False,
-          model_parallel: int = 1) -> InferenceServer:
+          model_parallel: int = 1, dynamic_batch: bool = True,
+          max_batch: int = 256) -> InferenceServer:
     """Entry used by ``yolo serve`` (cfg/__init__.py) and programmatic users."""
     srv = InferenceServer(models, host=host, port=port, data_parallel=data_parallel, half=half,
-                          model_parallel=model_parallel)
+                          model_parallel=model_parallel, dynamic_batch=dynamic_batch,
+                          max_batch=max_batch)
     if block:
         srv.serve_forever()
     else:

@@ -197,6 +197,87 @@ def test_remote_predict_all_tasks(tmp_path, yaml_name, task):
         srv.shutdown()
 
 
+def test_bytes_png_ingest_matches_raw(served):
+    """PNG (lossless) encoded-image ingest must produce bit-identical outputs
+    to the raw uint8 tensor path (serve.py BYTES wire format)."""
+    from spectrogram_yolov11_tpu.serve import RemoteModel, encode_images
+
+    cli = RemoteModel(f"http://127.0.0.1:{served[0].port}/tiny")
+    x = np.random.default_rng(5).integers(0, 255, (3, 64, 64, 3), np.uint8)
+    raw = cli(x)[0]
+    enc = cli(encode_images(x, fmt=".png"))[0]
+    assert enc.shape == raw.shape
+    np.testing.assert_array_equal(enc, raw)
+
+
+def test_bytes_jpeg_and_gray_ingest(served):
+    """JPEG ingest decodes server-side; a 1-channel PNG batch decodes and
+    broadcasts to 3 channels like the raw gray-upload path."""
+    from spectrogram_yolov11_tpu.serve import RemoteModel, encode_images
+
+    cli = RemoteModel(f"http://127.0.0.1:{served[0].port}/tiny")
+    x = np.random.default_rng(6).integers(0, 255, (2, 64, 64, 3), np.uint8)
+    out = cli(encode_images(x, fmt=".jpg", quality=95))[0]
+    assert out.shape[0] == 2 and np.isfinite(out).all()
+
+    gray = np.random.default_rng(7).integers(0, 255, (2, 64, 64, 1), np.uint8)
+    enc = cli(encode_images(gray, fmt=".png"))[0]
+    raw = cli(gray)[0]
+    np.testing.assert_array_equal(enc, raw)
+
+
+def test_dynamic_batching_aggregates_concurrent_requests(tmp_path, served):
+    """Concurrent requests must aggregate into fewer device dispatches
+    (continuous batching) while every caller still gets ITS results."""
+    import threading
+    import time
+
+    from spectrogram_yolov11_tpu.serve import _ModelRunner
+
+    _, ckpt = served
+    runner = _ModelRunner(ckpt, name="dyn")
+    calls = []
+    inner = runner.backend.forward
+
+    def slow_forward(x):
+        calls.append(np.asarray(x).shape[0])
+        time.sleep(0.2)
+        return inner(x)
+
+    runner.backend.forward = slow_forward
+    xs = [np.full((1, 64, 64, 3), i, np.uint8) for i in range(6)]
+    want = [runner._run_batch(x) for x in xs]  # direct path, no queue
+    calls.clear()
+
+    got = [None] * 6
+
+    def req(i):
+        got[i] = runner.infer([xs[i]])
+
+    threads = [threading.Thread(target=req, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+        time.sleep(0.01)  # first request dispatches; rest land in the queue
+    for t in threads:
+        t.join()
+    assert len(calls) < 6, f"no aggregation happened: {calls}"
+    assert sum(calls) >= 6
+    for i in range(6):
+        np.testing.assert_allclose(got[i][0], want[i][0], atol=1e-5, rtol=1e-5)
+
+
+def test_wire_encode_env_predict_matches_local(served, monkeypatch):
+    """SYT_WIRE_ENCODE=png routes YOLO(url) predict through the encoded-image
+    wire format; detections must match the local predictor exactly."""
+    srv, ckpt = served
+    img = np.random.default_rng(8).integers(0, 255, (96, 128, 3), np.uint8)
+    kw = dict(imgsz=64, conf=0.0, max_det=8, verbose=False)
+    local = YOLO(ckpt).predict(img, **kw)[0].boxes.data
+    monkeypatch.setenv("SYT_WIRE_ENCODE", "png")
+    remote = YOLO(srv.url).predict(img, **kw)[0].boxes.data
+    np.testing.assert_allclose(remote, local, atol=1e-3, rtol=1e-3)
+
+
 def test_model_parallel_serving_matches(served):
     """model_parallel=2 weight-shards big channel dims over the inner 'model'
     axis of a 4x2 mesh (parallel/mesh.py shard_state_over_model_axis);

@@ -190,6 +190,107 @@ def apply_updates(params, grads, state: OptState, opt: OptConfig, groups, weight
     return new_params, OptState(step=state.step + 1, mu=new_mu, nu=new_nu)
 
 
+# -- flat-packed optimizer path ---------------------------------------------
+# The tree-form apply_updates above lowers to ~3 tiny XLA kernels PER LEAF
+# (~900 for yolo11n's ~300 leaves); on TPU each costs a few tens of us of
+# fixed overhead, measured 0.29 ms/img of a 0.97 ms/img bs128 train step
+# (round-5 A/B: full 0.970 / no-opt 0.677 / no-ema 0.966 / no-clip 0.962).
+# Packing params/grads/opt-state into single flat f32 vectors turns the whole
+# update into a handful of large fused elementwise kernels; the unflatten
+# back to the tree is static slices, which XLA fuses into their consumers.
+
+
+class FlatSpec(NamedTuple):
+    treedef: Any
+    shapes: Tuple[Tuple[int, ...], ...]
+    sizes: Tuple[int, ...]
+    # HOST numpy int8 per element (0 decay, 1 bias, 2 norm): a jnp constant
+    # here would be committed to one device and breaks when the containing
+    # jit runs over a >1-device mesh (partition crash -> collective hang)
+    gid: Any
+    n: int
+
+
+def make_flat_spec(params, groups) -> FlatSpec:
+    import numpy as np
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    glabels, gdef = jax.tree_util.tree_flatten(groups)
+    assert treedef == gdef, "groups tree must mirror params"
+    code = {"decay": 0, "bias": 1, "norm": 2}
+    gid = np.concatenate([
+        np.full(l.size, code[g], np.int8) for l, g in zip(leaves, glabels)
+    ]) if leaves else np.zeros(0, np.int8)
+    return FlatSpec(
+        treedef=treedef,
+        shapes=tuple(tuple(l.shape) for l in leaves),
+        sizes=tuple(int(l.size) for l in leaves),
+        gid=gid,
+        n=int(gid.size),
+    )
+
+
+def flatten_tree(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.concatenate([l.reshape(-1).astype(jnp.float32) for l in leaves])
+
+
+def unflatten_tree(flat: jnp.ndarray, spec: FlatSpec):
+    out, off = [], 0
+    for shape, size in zip(spec.shapes, spec.sizes):
+        out.append(flat[off : off + size].reshape(shape))
+        off += size
+    return jax.tree_util.tree_unflatten(spec.treedef, out)
+
+
+def init_opt_state_flat(spec: FlatSpec) -> OptState:
+    # NB: two DISTINCT buffers — aliased mu/nu break the train step's
+    # donate_argnums ("attempt to donate the same buffer twice")
+    return OptState(step=jnp.zeros((), jnp.int32),
+                    mu=jnp.zeros((spec.n,), jnp.float32),
+                    nu=jnp.zeros((spec.n,), jnp.float32))
+
+
+def flat_opt_state(state: OptState, spec: FlatSpec) -> OptState:
+    """Migrate a tree-form OptState (older checkpoints) to flat vectors."""
+    if isinstance(state.mu, jnp.ndarray) and state.mu.ndim == 1:
+        return state
+    return OptState(step=state.step, mu=flatten_tree(state.mu), nu=flatten_tree(state.nu))
+
+
+def apply_updates_flat(p_flat, g_flat, state: OptState, opt: OptConfig,
+                       spec: FlatSpec, weight_decay: float, lr_step=None):
+    """Same math as apply_updates, on flat f32 vectors (~6 fused kernels).
+    Equality vs the tree path asserted by tests/test_optim_flat.py."""
+    gn = jnp.sqrt(jnp.sum(g_flat * g_flat))
+    g_flat = g_flat * jnp.minimum(1.0, opt.clip_norm / (gn + 1e-6))
+    lr_main, lr_bias, mom = lr_at(opt, state.step if lr_step is None else lr_step)
+    gid = jnp.asarray(spec.gid)  # trace-time constant (spec.gid is host numpy)
+    is_bias = gid == 1
+    is_decay = gid == 0
+    lr = jnp.where(is_bias, lr_bias, lr_main)
+    wd = jnp.where(is_decay, weight_decay, 0.0)
+
+    if opt.kind == "sgd":
+        g = g_flat + wd * p_flat
+        new_mu = mom * state.mu + g
+        step_dir = g + mom * new_mu  # nesterov
+        new_p = p_flat - lr * step_dir
+        new_nu = state.nu
+    else:  # adamw (decoupled decay)
+        b1, b2, eps = opt.momentum, 0.999, 1e-8
+        t = state.step.astype(jnp.float32) + 1.0
+        bc1 = 1 - b1**t
+        bc2 = 1 - b2**t
+        new_mu = b1 * state.mu + (1 - b1) * g_flat
+        new_nu = b2 * state.nu + (1 - b2) * (g_flat * g_flat)
+        mhat = new_mu / bc1
+        nhat = new_nu / bc2
+        new_p = p_flat - lr * (mhat / (jnp.sqrt(nhat) + eps) + wd * p_flat)
+
+    return new_p, OptState(step=state.step + 1, mu=new_mu, nu=new_nu)
+
+
 def ema_decay(updates: jnp.ndarray, decay: float = 0.9999, tau: float = 2000.0) -> jnp.ndarray:
     """Reference ModelEMA ramp (torch_utils.py:495): d = decay*(1-exp(-t/tau))."""
     return decay * (1 - jnp.exp(-updates.astype(jnp.float32) / tau))

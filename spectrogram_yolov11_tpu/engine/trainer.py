@@ -35,12 +35,16 @@ from spectrogram_yolov11_tpu.cfg import get_cfg, get_save_dir
 from spectrogram_yolov11_tpu.data import DataLoader, YOLODataset, check_det_dataset
 from spectrogram_yolov11_tpu.engine.checkpoint import load_checkpoint, save_checkpoint, strip_optimizer
 from spectrogram_yolov11_tpu.engine.optim import (
-    apply_updates,
+    apply_updates_flat,
     choose_optimizer,
     ema_decay,
     ema_update,
-    init_opt_state,
+    flat_opt_state,
+    flatten_tree,
+    init_opt_state_flat,
+    make_flat_spec,
     param_groups,
+    unflatten_tree,
 )
 from spectrogram_yolov11_tpu.engine.validator import DetectionValidator
 from spectrogram_yolov11_tpu.nn.tasks import build_model
@@ -284,26 +288,32 @@ class BaseTrainer:
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+        spec = make_flat_spec(self.variables["params"], groups)
+
         def train_step(state, batch, ni, do_step):
             # do_step is computed on host per-iteration (warmup-ramped
             # accumulate, reference trainer.py:368,391) and passed as a traced
             # scalar so the ramp changes no graph shapes.
             (loss, (items, new_bs)), grads = grad_fn(state["params"], state["batch_stats"], batch, ni)
-            buf = jax.tree_util.tree_map(lambda b, g: b + g, state["grad_buf"], grads)
+            # grad accumulation + optimizer run on FLAT vectors: the per-leaf
+            # tree_map form costs ~3 tiny kernels per leaf (~0.29 ms/img of a
+            # 0.97 ms/img bs128 step, round-5 A/B in engine/optim.py); flat
+            # packing turns it into a few large fused kernels
+            buf = state["grad_buf"] + flatten_tree(grads)
 
             def apply_branch(operand):
                 params, opt_state, buf, ema, ema_updates = operand
-                new_params, new_opt = apply_updates(
-                    params, buf, opt_state, opt_cfg, groups, wd_scaled, lr_step=ni
+                new_p_flat, new_opt = apply_updates_flat(
+                    flatten_tree(params), buf, opt_state, opt_cfg, spec, wd_scaled, lr_step=ni
                 )
+                new_params = unflatten_tree(new_p_flat, spec)
                 upd = ema_updates + 1
                 d = ema_decay(upd)
                 new_ema = {
                     "params": ema_update(ema["params"], new_params, d),
                     "batch_stats": ema_update(ema["batch_stats"], new_bs, d),
                 }
-                zero = jax.tree_util.tree_map(jnp.zeros_like, buf)
-                return new_params, new_opt, zero, new_ema, upd
+                return new_params, new_opt, jnp.zeros_like(buf), new_ema, upd
 
             def skip_branch(operand):
                 params, opt_state, buf, ema, ema_updates = operand
@@ -366,12 +376,17 @@ class BaseTrainer:
         )
         groups = param_groups(self.variables["params"])
 
-        mesh = get_mesh(batch_size=self.batch_size)
+        from spectrogram_yolov11_tpu.parallel.mesh import select_devices
+
+        mesh = get_mesh(devices=select_devices(self.args.device), batch_size=self.batch_size)
         resumed = getattr(self, "_resumed", None) or {}
-        opt0 = init_opt_state(self.variables["params"])
+        spec0 = make_flat_spec(self.variables["params"], groups)
+        opt0 = init_opt_state_flat(spec0)
         if resumed.get("opt_state") is not None:
             r = resumed["opt_state"]  # saved as the OptState NamedTuple's dict
             opt0 = type(opt0)(**{k: jax.tree_util.tree_map(jnp.asarray, r[k]) for k in opt0._fields})
+            # round-4-era checkpoints carry tree-form mu/nu; migrate to flat
+            opt0 = flat_opt_state(opt0, spec0)
         ema0 = resumed.get("ema")
         if ema0 is None:
             # NB: explicit copy — astype(f32) on f32 aliases the buffer, and
@@ -384,7 +399,7 @@ class BaseTrainer:
             "params": self.variables["params"],
             "batch_stats": self.variables["batch_stats"],
             "opt": opt0,
-            "grad_buf": jax.tree_util.tree_map(jnp.zeros_like, self.variables["params"]),
+            "grad_buf": jnp.zeros((spec0.n,), jnp.float32),
             "ema": ema0,
             "ema_updates": jnp.asarray(resumed.get("updates", 0), jnp.int32),
         }

@@ -338,10 +338,13 @@ def pose_loss(
     xy = y[..., :2] * 2.0 + (anchor_points[None, :, None, :] - 0.5)
     # GT kpts to grid units of each anchor's stride
     gt_xy_px = gt_kpts[..., :2] * imgsz  # (b, max_gt, nk, 2) pixels
-    sel_gt_kpts = jnp.take_along_axis(gt_xy_px, assign.target_gt_idx[..., None, None], axis=1)  # (b,A,nk,2)
+    # one-hot matmul instead of a (b*A)-row gather (20-40 ns/row on TPU —
+    # see ops/tal.py target assembly + round-5 xplane profile)
+    idx_onehot = jax.nn.one_hot(assign.target_gt_idx, gt_kpts.shape[1], dtype=jnp.float32)  # (b, A, max_gt)
+    sel_gt_kpts = jnp.einsum("bag,bgkc->bakc", idx_onehot, gt_xy_px)  # (b, A, nk, 2)
     sel_gt_kpts = sel_gt_kpts / stride_t[None, :, None, :]
     if nd == 3:
-        gt_v = jnp.take_along_axis(gt_kpts[..., 2], assign.target_gt_idx[..., None], axis=1)  # (b,A,nk)
+        gt_v = jnp.einsum("bag,bgk->bak", idx_onehot, gt_kpts[..., 2])  # (b, A, nk)
         kpt_mask = (gt_v != 0).astype(jnp.float32)
     else:
         kpt_mask = jnp.ones(xy.shape[:-1], jnp.float32)

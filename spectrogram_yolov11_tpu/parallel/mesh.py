@@ -21,6 +21,35 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def select_devices(spec: Any) -> Optional[list]:
+    """cfg `device:` -> device subset (reference select_device semantics,
+    torch_utils.py:129, re-read for SPMD: indices pick mesh members instead of
+    a CUDA ordinal). None/''/'auto' -> all devices (returns None); 'cpu'/'tpu'
+    -> all devices of that platform; 0 / '0' / '0,1' / [0, 1] / 'tpu:1' ->
+    devices at those indices."""
+    if spec is None or spec == "" or spec == "auto":
+        return None
+    devs = jax.devices()
+    if isinstance(spec, str):
+        s = spec.strip().lower()
+        if s in ("auto", ""):
+            return None
+        if ":" in s:  # 'tpu:1'
+            s = s.split(":", 1)[1]
+        elif not s.replace(",", "").replace(" ", "").isdigit():
+            plat = [d for d in devs if d.platform == s]
+            if not plat:
+                raise ValueError(f"device='{spec}': no {s} devices in {devs}")
+            return plat
+        spec = [int(x) for x in s.split(",") if x.strip() != ""]
+    if isinstance(spec, int):
+        spec = [spec]
+    try:
+        return [devs[int(i)] for i in spec]
+    except IndexError:
+        raise ValueError(f"device={spec!r} out of range: {len(devs)} device(s) visible") from None
+
+
 def get_mesh(devices: Optional[list] = None, axis_name: str = "data", batch_size: Optional[int] = None) -> Mesh:
     """Data mesh over all devices; if batch_size is given, restrict to the
     largest device count that divides it (small-batch debugging runs)."""

@@ -67,7 +67,7 @@ def _trainer_for(cfg: str, data: str | None, bs: int, imgsz: int, devaug: bool):
 
 
 def measure(cfg: str, data: str | None, bs: int, imgsz: int, reps: int = 8,
-            passes: int = 3, devaug: bool = False) -> dict:
+            passes: int = 3, devaug: bool = False, phases=None) -> dict:
     import numpy as np
 
     import jax
@@ -158,9 +158,12 @@ def measure(cfg: str, data: str | None, bs: int, imgsz: int, reps: int = 8,
 
     out = {"model": cfg, "imgsz": imgsz, "bs": bs, "devaug": devaug}
     step_fn = None
-    for name, body in (("fwd", body_fwd), ("fwd_loss", body_loss),
-                       ("fwd_bwd", body_bwd), ("opt_ema", body_opt),
-                       ("step", body_step)):
+    all_phases = {"fwd": body_fwd, "fwd_loss": body_loss, "fwd_bwd": body_bwd,
+                  "opt_ema": body_opt, "step": body_step}
+    wanted = [p for p in (phases or all_phases) if p in all_phases]
+    if "step" not in wanted:
+        wanted.append("step")
+    for name, body in ((n, all_phases[n]) for n in wanted):
         @jax.jit
         def scan_fn(st, b, _body=body):
             def inner(carry, ni):
@@ -189,8 +192,11 @@ def measure(cfg: str, data: str | None, bs: int, imgsz: int, reps: int = 8,
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     if cost and cost.get("flops"):
         fl = float(cost["flops"]) / bs
-        out["train_gflops_img"] = round(fl / 1e9, 2)
-        out["train_mfu"] = round((1.0 / step_s) * fl / (PEAK_TFLOPS * 1e12), 4)
+        out["xla_step_gflops_img"] = round(fl / 1e9, 2)
+        # NB: this backend's cost_analysis reports ~forward-only flops for the
+        # grad program, so ALSO emit the standard 3x-forward convention
+        out["train_mfu_xla"] = round((1.0 / step_s) * fl / (PEAK_TFLOPS * 1e12), 4)
+        out["train_mfu_3x"] = round((1.0 / step_s) * 3 * fl / (PEAK_TFLOPS * 1e12), 4)
     return out
 
 
@@ -203,12 +209,16 @@ def main() -> None:
     ap.add_argument("--sweep-bs", type=str, default="")
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--devaug", action="store_true")
+    ap.add_argument("--phases", type=str, default="",
+                    help="comma list (fwd,fwd_loss,fwd_bwd,opt_ema,step); "
+                         "default all. 'step' alone = 1 compile per config")
     args = ap.parse_args()
     bss = [int(b) for b in args.sweep_bs.split(",") if b] or [args.bs]
+    phases = [p for p in args.phases.split(",") if p] or None
     for cfg in args.configs:
         for b in bss:
             print(json.dumps(measure(cfg, args.data, b, args.imgsz, args.reps,
-                                     devaug=args.devaug)), flush=True)
+                                     devaug=args.devaug, phases=phases)), flush=True)
 
 
 if __name__ == "__main__":

@@ -292,32 +292,50 @@ def bench_serve(quick: bool = False) -> dict:
     frames = _load_frames(8)
     lb = np.stack([cv2.resize(f, (IMGSZ, IMGSZ), interpolation=cv2.INTER_LINEAR) for f in frames])
 
+    from spectrogram_yolov11_tpu.serve import encode_images
+
+    bs = 32
+    gray = lb.mean(-1, keepdims=True).astype(np.uint8)  # spectrogram frames are 1-ch
+    wires = {
+        # raw 3-channel uint8 tensors (the round-4 baseline wire format)
+        "raw3_bs32": np.ascontiguousarray(np.resize(lb, (bs, IMGSZ, IMGSZ, 3))),
+        # gray upload: 3x fewer wire+H2D bytes, broadcast to 3 ON DEVICE
+        "gray_bs32": np.ascontiguousarray(np.resize(gray, (bs, IMGSZ, IMGSZ, 1))),
+        # encoded ingest (serve.py BYTES wire): ~10-30x fewer client->server
+        # bytes; the server decodes into the gray H2D path
+        "gray_jpeg_bs32": encode_images(
+            np.ascontiguousarray(np.resize(gray, (bs, IMGSZ, IMGSZ, 1))), ".jpg", 90),
+    }
+
     out = {}
     K = 6 if quick else 12
-    for bs in ((32,) if quick else (8, 32)):
-        batch = np.ascontiguousarray(np.resize(lb, (bs, IMGSZ, IMGSZ, 3)))
+    for name, batch in wires.items():
         cli = RemoteModel(url)
         cli(batch), cli(batch)  # compile + steady-state warm
         t0 = time.perf_counter()
         for _ in range(K):
             cli(batch)
-        seq = bs * K / (time.perf_counter() - t0)
+        row = {"img_s_1client": round(bs * K / (time.perf_counter() - t0))}
 
-        def worker():
-            c = RemoteModel(url)
-            for _ in range(K // 2):
-                c(batch)
+        for n_cli in (2, 4):
+            def worker():
+                c = RemoteModel(url)
+                for _ in range(max(K // n_cli, 2)):
+                    c(batch)
 
-        threads = [threading.Thread(target=worker) for _ in range(2)]
-        t0 = time.perf_counter()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        par = bs * K / (time.perf_counter() - t0)
-        out[f"bs{bs}"] = {"img_s_1client": round(seq), "img_s_2clients": round(par)}
+            threads = [threading.Thread(target=worker) for _ in range(n_cli)]
+            reqs = n_cli * max(K // n_cli, 2)
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            # concurrent same-shape requests aggregate into one device
+            # dispatch (serve.py continuous dynamic batching)
+            row[f"img_s_{n_cli}clients"] = round(bs * reqs / (time.perf_counter() - t0))
+        out[name] = row
         if not quick:
-            print(f"bs{bs}: {seq:.0f} img/s (1 client), {par:.0f} img/s (2 clients)", flush=True)
+            print(f"{name}: {row}", flush=True)
     srv.shutdown()
     # the serve path is H2D-bound on this tunneled dev harness: record the
     # tunnel's bulk upload bandwidth AT MEASUREMENT TIME (fluctuates by hours)
@@ -549,7 +567,10 @@ def main() -> None:
     # serve-mode steady state so the on-chip vs host-fed story is self-contained
     try:
         serve_stats = bench_serve(quick=True)
-        value_serve = max(v["img_s_2clients"] for v in serve_stats.values() if isinstance(v, dict))
+        value_serve = max(
+            max(r for k, r in v.items() if k.startswith("img_s"))
+            for v in serve_stats.values() if isinstance(v, dict)
+        )
     except Exception as e:  # serving must never sink the headline
         serve_stats, value_serve = {"error": str(e)}, None
 
@@ -579,6 +600,12 @@ def main() -> None:
                 "vs_baseline": round(dev_only / baseline, 3),
                 "value_on_chip": round(dev_only, 1),
                 "value_e2e_tunnel": round(results[best_batch], 1),
+                # best measured end-to-end rate on THIS rig: host-fed
+                # streaming pipeline vs HTTP serving (jpeg ingest + dynamic
+                # batching + gray H2D) — both gated by the tunnel's H2D
+                # bandwidth recorded in serve_sweep.h2d_MBps (0.41 MB/img
+                # gray; a host-attached chip pays none of this)
+                "value_e2e": round(max(results[best_batch], value_serve or 0), 1),
                 "value_serve": value_serve,
                 "serve_sweep": serve_stats,
                 "tunnel_ms": round(tunnel_ms, 2),

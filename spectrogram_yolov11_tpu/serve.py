@@ -223,9 +223,13 @@ class _ModelRunner:
             isinstance(imgs, np.ndarray) and imgs.dtype == object
         ):
             imgs = _decode_images(list(imgs))
-        if imgs.ndim == 4 and imgs.shape[-1] == 1:
+        if imgs.ndim == 4 and imgs.shape[-1] == 1 and not (
+            self.backend.variables is not None and self.mesh is None
+        ):
             # gray-upload clients (spectrogram frames) send ONE channel to cut
-            # the HTTP payload 3x; the graph wants 3 (predictor.py _maybe_gray)
+            # the HTTP payload 3x; non-JAX backends want 3 on the host. The
+            # local-JAX single-device path instead ships 1 channel over H2D
+            # and broadcasts ON DEVICE (_run_batch) — 3x fewer tunnel bytes.
             imgs = np.repeat(imgs, 3, axis=-1)
         return imgs
 
@@ -244,6 +248,14 @@ class _ModelRunner:
                 import jax
 
                 imgs = jax.device_put(imgs, self._in_shard)
+            elif imgs.ndim == 4 and imgs.shape[-1] == 1:
+                # gray H2D: upload (N, H, W, 1) and broadcast to 3 on-device
+                import jax
+                import jax.numpy as jnp
+
+                if not hasattr(self, "_gray3"):
+                    self._gray3 = jax.jit(lambda x: jnp.repeat(x, 3, axis=-1))
+                imgs = self._gray3(jax.device_put(imgs))
             out = self.backend.forward(imgs)
         outs = list(out) if isinstance(out, (tuple, list)) else [out]
         return [np.asarray(o)[:n] for o in outs]

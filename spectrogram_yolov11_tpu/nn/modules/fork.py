@@ -351,7 +351,11 @@ class AKSpatialAttention(nn.Module):
 
 
 class SAKAM(nn.Module):
-    """Dual-scale LDConv spatial attention (reference: conv.py:1307)."""
+    """Dual-scale LDConv spatial attention with a shared global channel gate
+    and identity residual (reference: conv.py:1307-1370 — x4/x5 spatial
+    branches, pool->fc->ReLU gate applied to both, `x10 + x11 + x`). The
+    reference also declares a `channel_attention = ECAAttention(c1)` it never
+    calls — dead params, dropped on ingest by utils/torch_compat.py."""
 
     c1: int
     kernel_size: int = 7
@@ -362,7 +366,10 @@ class SAKAM(nn.Module):
         stat = jnp.concatenate([x.mean(-1, keepdims=True), x.max(-1, keepdims=True)], axis=-1)
         a = LDConv(2, 1, 7, 1, dtype=self.dtype, name="cv1")(stat, train)
         b = LDConv(2, 1, 15, 1, dtype=self.dtype, name="cv2")(stat, train)
-        return x * a + x * b
+        x4, x5 = x * a, x * b
+        pooled = (x4 + x5).mean(axis=(1, 2), keepdims=True)  # AdaptiveAvgPool2d(1)
+        g = nn.relu(nn.Conv(self.c1, (1, 1), use_bias=True, dtype=self.dtype, name="fc")(pooled))
+        return x4 * g + x5 * g + x
 
 
 class AKCBAM(nn.Module):

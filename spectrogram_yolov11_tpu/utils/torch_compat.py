@@ -135,25 +135,35 @@ def load_state_into_variables(variables: dict, converted: dict, strict: bool = T
 
     out = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy of leaves
     problems = []
+    have_params = set(_tree_paths(out.get("params", {})))
     for coll in ("params", "batch_stats"):
         have = _tree_paths(out.get(coll, {}))
         want = _tree_paths(converted.get(coll, {}))
         missing = set(have) - set(want)
         extra = set(want) - set(have)
-        # The fork's active HCoordAtt declares conv1+bn1 but never uses them
-        # in forward (reference conv.py:1646-1648 — dead params trained only
-        # by weight decay); our module reproduces the compute (cv1 only), so
-        # those torch leaves legitimately have no destination here.
-        dead = {
-            p for p in extra
-            if len(p) >= 2 and p[-2] in {"conv1", "bn1"}
-            and any(q[: len(p) - 2] == p[:-2] and "cv1" in q for q in have)
-        }
+        # Dead reference leaves (declared-but-unused submodules, trained only
+        # by weight decay) legitimately have no destination here:
+        # - HCoordAtt declares conv1+bn1 but forwards through cv1 only
+        #   (reference conv.py:1646-1648); sibling check runs against the
+        #   params collection so bn1 BATCH_STATS are dropped too.
+        # - SAKAM declares channel_attention = ECAAttention(c1) it never calls
+        #   (reference conv.py:1338,1359-1360 commented out); our SAKAM keeps
+        #   the live pool->fc gate ('fc' sibling).
+        def _parent_has(p, cut, name):
+            return any(q[:cut] == p[:cut] and len(q) > cut and q[cut] == name
+                       for q in have_params)
+
+        dead = set()
+        for p in extra:
+            if len(p) >= 2 and p[-2] in {"conv1", "bn1"} and _parent_has(p, len(p) - 2, "cv1"):
+                dead.add(p)
+            elif "channel_attention" in p and _parent_has(p, p.index("channel_attention"), "fc"):
+                dead.add(p)
         if dead:
             extra -= dead
             LOGGER.info(
                 f"{coll}: dropped {len(dead)} dead reference leaves "
-                f"(HCoordAtt conv1/bn1 — declared but unused in the reference forward)"
+                "(declared-but-unused submodules: HCoordAtt conv1/bn1, SAKAM channel_attention)"
             )
         if missing:
             problems.append(f"{coll}: {len(missing)} un-filled leaves, e.g. {sorted(missing)[:3]}")

@@ -42,6 +42,93 @@ def test_model_yaml_builds_and_forwards(yaml_path):
     assert leaves and all(bool(jnp.all(jnp.isfinite(l))) for l in leaves), yaml_path.stem
 
 
+def test_sampled_fork_ingest_parity():
+    """Randomized deep-parity sampling over the fork zoo (VERDICT r4 next #6):
+    N seeded-random fork configs are built in the TORCH REFERENCE, their
+    random-init weights converted via torch_compat, and the 64px forwards
+    compared numerically. Catches silent architecture divergences in the
+    long tail of fork modules that the structural/finite-forward zoo sweep
+    cannot see. Rotate SYT_ZOO_PARITY_SEED in CI to widen coverage over time."""
+    import os
+
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+    from oracle import load_reference
+
+    from spectrogram_yolov11_tpu.ops.decode import concat_feats
+    from spectrogram_yolov11_tpu.utils.torch_compat import (
+        load_state_into_variables, torch_state_to_variables)
+
+    load_reference()
+    from ultralytics.nn.tasks import DetectionModel
+    from ultralytics.nn.tasks import yaml_model_load as ref_yaml_load
+
+    fork_dir = Path(__file__).parents[1] / "spectrogram_yolov11_tpu" / "cfg" / "models" / "11" / "fork"
+    skip = {
+        "yolo11_SChannel_bifpn.yaml",  # broken in the reference at every scale
+        "yolo11_DYHEAD.yaml",  # reference's own DyHead config crashes there
+        "yolo11-cls-resnet18.yaml",  # classify (torchvision backbone), not a detect fork
+    }
+    pool = sorted(p for p in fork_dir.glob("*.yaml") if p.name not in skip)
+    seed = int(os.environ.get("SYT_ZOO_PARITY_SEED", "0"))
+    rng = np.random.default_rng(seed)
+    n_sample = int(os.environ.get("SYT_ZOO_PARITY_N", "10"))
+    sampled = [pool[i] for i in rng.choice(len(pool), size=n_sample, replace=False)]
+
+    failures, ref_broken = [], []
+    for path in sampled:
+        ref = None
+        for scale in (("l",) if "SMSC" in path.name else ("n", "l")):
+            d = yaml_model_load(str(path))
+            d["scale"] = scale
+            ref_d = ref_yaml_load(str(Path("/root/reference/ultralytics/cfg/models/11") / path.name))
+            ref_d["scale"] = scale
+            torch.manual_seed(seed)
+            try:
+                ref = DetectionModel(ref_d, ch=3, verbose=False)
+                break
+            except Exception as e:  # try the next scale
+                ref_err = e
+        if ref is None:
+            # the REFERENCE cannot build this config at any tried scale (same
+            # class as the documented yolo11_SChannel_bifpn skip) — there is
+            # no oracle to compare against; our zoo test still forwards it
+            ref_broken.append(f"{path.stem}: {ref_err!r}")
+            continue
+        ref.eval()
+        m = build_model(d, verbose=False)
+        v = m.init(jax.random.PRNGKey(0), imgsz=64)
+        state = {k: p.detach().numpy() for k, p in ref.state_dict().items()}
+        conv = torch_state_to_variables(state, head_layer=f"model_{m.head_spec.i}",
+                                        head_task=m.task)
+        try:
+            v = load_state_into_variables(v, conv, strict=True)
+        except Exception as e:
+            failures.append(f"{path.stem}: weight ingest failed ({e})")
+            continue
+        x = np.random.default_rng(1).standard_normal((1, 3, 64, 64)).astype(np.float32) * 0.4
+        with torch.no_grad():
+            ref.train()
+            for mod in ref.modules():
+                if isinstance(mod, torch.nn.BatchNorm2d):
+                    mod.eval()
+            ref_out = [o.numpy() for o in ref(torch.from_numpy(x))]
+        ours = concat_feats(m.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False))
+        for li, (r, o) in enumerate(zip(ref_out, ours)):
+            o_nchw = np.asarray(o).transpose(0, 3, 1, 2)
+            if r.shape != o_nchw.shape:
+                failures.append(f"{path.stem}: level {li} shape {o_nchw.shape} != ref {r.shape}")
+                break
+            err = float(np.abs(o_nchw - r).max())
+            if not np.allclose(o_nchw, r, atol=5e-4, rtol=5e-3):
+                failures.append(f"{path.stem}: level {li} max|d|={err:.2e}")
+                break
+    if ref_broken:
+        print(f"reference-broken configs (no oracle available): {ref_broken}")
+    assert not failures, f"seed={seed}: " + "; ".join(failures)
+
+
 def test_fork_module_numerics():
     """Fork modules produce finite values on real (tiny) inputs."""
     from spectrogram_yolov11_tpu.nn import modules as M

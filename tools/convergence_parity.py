@@ -30,9 +30,16 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 OUT = REPO / "runs" / "parity"
 DATA_DIR = REPO / "datasets" / "spectrogram_synth"
 EPOCHS, IMGSZ, BATCH = 40, 320, 16
+
+# Round-5 legs (VERDICT r4 next #4): the detect A/B at the 640px operating
+# point on a 2x dataset, and a segment A/B (mask loss + proto path).
+DATA640_DIR = REPO / "datasets" / "spectrogram_synth_640"
+SEG_DIR = REPO / "datasets" / "shapes_seg_parity"
 
 # device_augment pinned to the host cv2 pipeline: the A/B must run the exact
 # reference augmentation semantics, not the on-TPU resample (which matches
@@ -49,6 +56,36 @@ def _ref_data_yaml() -> Path:
         "names:\n  0: LTE\n  1: RF\n"
     )
     return p
+
+
+def _ref_data_yaml_640() -> Path:
+    _materialize("spectrogram_synth_640.yaml")
+    p = OUT / "spectrogram_synth_640_ref.yaml"
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(
+        f"path: {DATA640_DIR}\ntrain: images/train\nval: images/val\n"
+        "names:\n  0: LTE\n  1: RF\n"
+    )
+    return p
+
+
+def _ref_data_yaml_seg() -> Path:
+    _materialize("shapes_seg_parity.yaml")
+    p = OUT / "shapes_seg_parity_ref.yaml"
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(
+        f"path: {SEG_DIR}\ntrain: images/train\nval: images/val\n"
+        "names:\n  0: blob\n  1: ellipse\n"
+    )
+    return p
+
+
+def _materialize(yaml_name: str) -> None:
+    """Generate the synthetic dataset for `yaml_name` if absent (our pipeline
+    is the generator of record so BOTH frameworks train on identical files)."""
+    from spectrogram_yolov11_tpu.data import check_det_dataset
+
+    check_det_dataset(yaml_name)
 
 
 def run_ref(epochs: int, imgsz: int, seed: int = 0, name: str = "ref") -> dict:
@@ -78,6 +115,79 @@ def run_ours(epochs: int, imgsz: int, seed: int = 0, name: str = "ours", amp: bo
     out = {"framework": "spectrogram_yolov11_tpu", "epochs": epochs, "imgsz": imgsz, "seed": seed,
            "amp": amp,
            "map50": float(res["metrics/mAP50(B)"]), "map50_95": float(res["metrics/mAP50-95(B)"])}
+    (OUT / f"{name}_metrics.json").write_text(json.dumps(out, indent=1))
+    return out
+
+
+def run_ref_640(epochs: int, seed: int = 0) -> dict:
+    """640px detect leg: reference fork on CPU, 256/64-image synth set."""
+    sys.path.insert(0, str(REPO / "tests"))
+    from oracle import load_reference
+
+    load_reference()
+    from ultralytics import YOLO  # noqa: reference package, read-only checkout
+
+    m = YOLO(str(Path("/root/reference/ultralytics/cfg/models/11/yolo11_HCA.yaml")))
+    name = f"ref640_s{seed}"
+    res = m.train(data=str(_ref_data_yaml_640()), epochs=epochs, device="cpu",
+                  workers=2, project=str(OUT), name=name, amp=False,
+                  **{**COMMON, "imgsz": 640, "seed": seed})
+    out = {"framework": "reference-torch-cpu", "leg": "det640", "epochs": epochs,
+           "imgsz": 640, "seed": seed,
+           "map50": float(res.box.map50), "map50_95": float(res.box.map)}
+    (OUT / f"{name}_metrics.json").write_text(json.dumps(out, indent=1))
+    return out
+
+
+def run_ours_640(epochs: int, seed: int = 0, device_augment="False") -> dict:
+    from spectrogram_yolov11_tpu import YOLO
+
+    da = {"False": False, "auto": "auto"}[str(device_augment)]
+    name = f"ours640_s{seed}" + ("_da" if da else "")
+    m = YOLO("spectrogram_yolo11.yaml")
+    res = m.train(data="spectrogram_synth_640.yaml", epochs=epochs,
+                  device_augment=da, amp=True, project=str(OUT), name=name,
+                  **{**COMMON, "imgsz": 640, "seed": seed})
+    out = {"framework": "spectrogram_yolov11_tpu", "leg": "det640", "epochs": epochs,
+           "imgsz": 640, "seed": seed, "device_augment": str(da),
+           "map50": float(res["metrics/mAP50(B)"]), "map50_95": float(res["metrics/mAP50-95(B)"])}
+    (OUT / f"{name}_metrics.json").write_text(json.dumps(out, indent=1))
+    return out
+
+
+def run_ref_seg(epochs: int, seed: int = 0) -> dict:
+    """Segment leg: reference yolo11n-seg on the synth instance-seg set."""
+    sys.path.insert(0, str(REPO / "tests"))
+    from oracle import load_reference
+
+    load_reference()
+    from ultralytics import YOLO  # noqa: reference package, read-only checkout
+
+    m = YOLO("yolo11n-seg.yaml")
+    name = f"refseg_s{seed}"
+    res = m.train(data=str(_ref_data_yaml_seg()), epochs=epochs, device="cpu",
+                  workers=2, project=str(OUT), name=name, amp=False,
+                  **{**COMMON, "imgsz": IMGSZ, "seed": seed})
+    out = {"framework": "reference-torch-cpu", "leg": "segment", "epochs": epochs,
+           "imgsz": IMGSZ, "seed": seed,
+           "map50": float(res.box.map50), "map50_95": float(res.box.map),
+           "mask_map50": float(res.seg.map50), "mask_map50_95": float(res.seg.map)}
+    (OUT / f"{name}_metrics.json").write_text(json.dumps(out, indent=1))
+    return out
+
+
+def run_ours_seg(epochs: int, seed: int = 0) -> dict:
+    from spectrogram_yolov11_tpu import YOLO
+
+    name = f"oursseg_s{seed}"
+    m = YOLO("yolo11n-seg.yaml")
+    res = m.train(data="shapes_seg_parity.yaml", epochs=epochs,
+                  device_augment=False, amp=True, project=str(OUT), name=name,
+                  **{**COMMON, "imgsz": IMGSZ, "seed": seed})
+    out = {"framework": "spectrogram_yolov11_tpu", "leg": "segment", "epochs": epochs,
+           "imgsz": IMGSZ, "seed": seed,
+           "map50": float(res["metrics/mAP50(B)"]), "map50_95": float(res["metrics/mAP50-95(B)"]),
+           "mask_map50": float(res["metrics/mAP50(M)"]), "mask_map50_95": float(res["metrics/mAP50-95(M)"])}
     (OUT / f"{name}_metrics.json").write_text(json.dumps(out, indent=1))
     return out
 
@@ -121,6 +231,10 @@ def report() -> None:
     names += sorted(p.name for p in OUT.glob("ref_s*_metrics.json"))
     names += sorted(p.name for p in OUT.glob("ours_s*_metrics.json"))
     names += ["ours_f32_metrics.json"]
+    names += sorted(p.name for p in OUT.glob("ref640_s*_metrics.json"))
+    names += sorted(p.name for p in OUT.glob("ours640_s*_metrics.json"))
+    names += sorted(p.name for p in OUT.glob("refseg_s*_metrics.json"))
+    names += sorted(p.name for p in OUT.glob("oursseg_s*_metrics.json"))
     for f in names:
         p = OUT / f
         if p.exists():
@@ -149,6 +263,16 @@ if __name__ == "__main__":
     elif phase.startswith("ref-seed"):  # e.g. "ref-seed1": ref seed-variance run
         sd = int(phase[len("ref-seed"):])
         print(run_ref(e, s, seed=sd, name=f"ref_s{sd}"))
+    elif phase.startswith("ref640-seed"):
+        print(run_ref_640(e, seed=int(phase[len("ref640-seed"):])))
+    elif phase.startswith("ours640-seed"):
+        print(run_ours_640(e, seed=int(phase[len("ours640-seed"):])))
+    elif phase == "ours640-da":  # shipping-default leg: device_augment=auto
+        print(run_ours_640(e, seed=0, device_augment="auto"))
+    elif phase.startswith("refseg-seed"):
+        print(run_ref_seg(e, seed=int(phase[len("refseg-seed"):])))
+    elif phase.startswith("oursseg-seed"):
+        print(run_ours_seg(e, seed=int(phase[len("oursseg-seed"):])))
     elif phase == "ours-val":
         print(val_ours(s))
     elif phase == "cross":

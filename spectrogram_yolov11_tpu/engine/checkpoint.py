@@ -24,6 +24,16 @@ from spectrogram_yolov11_tpu.utils import LOGGER
 
 
 def _to_numpy(tree):
+    """Device tree -> host numpy with ONE batched D2H wave.
+
+    A per-leaf tree_map of np.asarray issues ~600 serial blocking transfers;
+    on a tunnel-attached chip each pays the ~30-50 ms dispatch RTT (measured
+    round 5: 3 MINUTES between best.ckpt and last.ckpt writes — the per-epoch
+    save dominated training wall-clock). Starting every leaf's async copy
+    first overlaps all the round-trips."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "copy_to_host_async"):
+            leaf.copy_to_host_async()
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 

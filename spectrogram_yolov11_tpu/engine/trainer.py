@@ -537,10 +537,19 @@ class BaseTrainer:
         return self._validator()
 
     def _save_ckpt(self, state, epoch: int, fitness: Optional[float]):
+        from spectrogram_yolov11_tpu.engine.checkpoint import _to_numpy
+
+        # pull the device state ONCE (batched async D2H) so last/best/period
+        # saves don't each re-ship ~600 leaves over the dispatch path
+        host = _to_numpy({
+            "variables": {"params": state["params"], "batch_stats": state["batch_stats"]},
+            "ema": state["ema"],
+            "opt": state["opt"]._asdict() if hasattr(state["opt"], "_asdict") else state["opt"],
+        })
         kw = dict(
-            variables={"params": state["params"], "batch_stats": state["batch_stats"]},
-            ema_variables=state["ema"],
-            opt_state=state["opt"],
+            variables=host["variables"],
+            ema_variables=host["ema"],
+            opt_state=host["opt"],
             epoch=epoch,
             best_fitness=self.best_fitness,
             updates=int(state["ema_updates"]),

@@ -92,7 +92,11 @@ def build_inference_fn(model, *, nms: bool = False, conf: float = 0.25, iou: flo
             if not embed_nms:
                 return preds, proto
             det, nv = non_max_suppression_extras(preds, conf_thres=conf, iou_thres=iou, nc=nc, max_det=max_det)
+            from spectrogram_yolov11_tpu.ops.masks import crop_masks_device
+
             masks = jax.nn.sigmoid(jnp.einsum("bdk,bhwk->bdhw", det[..., 6:], proto))
+            # crop to box (reference process_mask, ops.py:679)
+            masks = crop_masks_device(masks, det[..., :4], (x.shape[1], x.shape[2]))
             return det[..., :6], nv, masks
 
         if task == "pose":

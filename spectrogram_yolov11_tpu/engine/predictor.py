@@ -351,10 +351,13 @@ class SegmentationPredictor(BasePredictor):
             preds = decode_detections(feats, nc=nc, strides=strides)
             preds = jnp.concatenate([preds, mc], axis=-1)  # carry coeffs through NMS select
             out, nv = non_max_suppression_extras(preds, conf_thres=conf, iou_thres=iou, nc=nc, max_det=max_det)
-            # out: (B, max_det, 6 + nm); compute masks: sigmoid(coeff @ proto)
+            # out: (B, max_det, 6 + nm); masks: sigmoid(coeff @ proto) CROPPED
+            # to each box (reference process_mask, ops.py:679)
+            from spectrogram_yolov11_tpu.ops.masks import crop_masks_device
+
             coeff = out[..., 6:]
-            b, h4, w4, nm = proto.shape
             masks = jax.nn.sigmoid(jnp.einsum("bdk,bhwk->bdhw", coeff, proto))
+            masks = crop_masks_device(masks, out[..., :4], (x.shape[1], x.shape[2]))
             return out[..., :6], nv, masks
 
         return run

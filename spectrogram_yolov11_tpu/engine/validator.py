@@ -427,9 +427,13 @@ class SegmentationValidator(DetectionValidator):
                 preds, conf_thres=float(args.conf), iou_thres=float(args.iou), nc=nc,
                 max_det=int(args.max_det), pre_nms_topk=int(getattr(args, 'pre_nms_topk', 0) or 0) or 2048,
             )
+            from spectrogram_yolov11_tpu.ops.masks import crop_masks_device
+
             masks = jax.nn.sigmoid(
                 jnp.einsum("bdk,bhwk->bdhw", out[..., 6:].astype(jnp.float32), proto.astype(jnp.float32))
             ) > 0.5
+            # crop to box BEFORE use (reference process_mask, ops.py:679)
+            masks = crop_masks_device(masks, out[..., :4], (x.shape[1], x.shape[2]))
             return out[..., :6], nv, masks
 
         return run

@@ -17,6 +17,32 @@ from typing import Tuple
 import numpy as np
 
 
+def crop_masks_device(masks, boxes, in_hw):
+    """Jitted batched crop-to-box (the device-side counterpart of crop_mask,
+    reference ops.py:660): masks (b, d, mh, mw) float logits or bool, boxes
+    (b, d, 4) xyxy in INPUT-image pixels, in_hw the network input (h, w).
+
+    The reference's process_mask always multiplies the mask logits by the
+    box window before thresholding at 0 — without it, sigmoid spill outside
+    the box inflates predicted masks ~20x and mask IoU collapses (round-5
+    crossseg leg: ref-trained weights scored box mAP 0.41 but mask mAP 0.0
+    through the un-cropped validator path)."""
+    import jax.numpy as jnp
+
+    mh, mw = masks.shape[-2], masks.shape[-1]
+    sy, sx = mh / float(in_hw[0]), mw / float(in_hw[1])
+    x = jnp.arange(mw, dtype=jnp.float32)[None, None, None, :]
+    y = jnp.arange(mh, dtype=jnp.float32)[None, None, :, None]
+    x1 = (boxes[..., 0] * sx)[..., None, None]
+    y1 = (boxes[..., 1] * sy)[..., None, None]
+    x2 = (boxes[..., 2] * sx)[..., None, None]
+    y2 = (boxes[..., 3] * sy)[..., None, None]
+    inside = (x >= x1) & (x < x2) & (y >= y1) & (y < y2)
+    if masks.dtype == jnp.bool_:
+        return masks & inside
+    return masks * inside
+
+
 def crop_mask(masks: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     """Zero mask pixels outside each box: (n, h, w) x (n, 4 xyxy in mask
     coords) -> (n, h, w)."""

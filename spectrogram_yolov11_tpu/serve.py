@@ -642,17 +642,24 @@ class RemotePredictor:
             def _build_device_fn(self):
                 args, nc = self.args, self.model.nc
 
-                @jax.jit
-                def post(preds, proto):
+                import functools
+
+                @functools.partial(jax.jit, static_argnums=(2, 3))
+                def post(preds, proto, in_h, in_w):
+                    from spectrogram_yolov11_tpu.ops.masks import crop_masks_device
+
                     out, nv = non_max_suppression_extras(
                         preds, conf_thres=float(args.conf), iou_thres=float(args.iou),
                         nc=nc, max_det=int(args.max_det))
                     masks = jax.nn.sigmoid(jnp.einsum("bdk,bhwk->bdhw", out[..., 6:], proto))
+                    # crop to box (reference process_mask, ops.py:679)
+                    masks = crop_masks_device(masks, out[..., :4], (in_h, in_w))
                     return out[..., :6], nv, masks
 
                 def run(_variables, imgs_u8):
                     preds, proto = fwd(imgs_u8)
-                    return post(jnp.asarray(preds), jnp.asarray(proto))
+                    h, w = np.asarray(imgs_u8).shape[1:3]
+                    return post(jnp.asarray(preds), jnp.asarray(proto), int(h), int(w))
 
                 return run
 

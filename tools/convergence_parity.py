@@ -192,6 +192,60 @@ def run_ours_seg(epochs: int, seed: int = 0) -> dict:
     return out
 
 
+def run_cross_640() -> dict:
+    """ref640-trained best.pt -> torch_compat ingest -> OUR validator at the
+    640px benchmark operating point (no training variance: weight ingest +
+    val protocol only)."""
+    sys.path.insert(0, str(REPO / "tests"))
+    from oracle import load_reference
+
+    load_reference()
+    from spectrogram_yolov11_tpu import YOLO
+
+    m = YOLO(str(OUT / "ref640_s0" / "weights" / "best.pt"))
+    res = m.val(data="spectrogram_synth_640.yaml", imgsz=640, batch=BATCH, plots=False)
+    out = {"framework": "ref-weights-through-our-val", "leg": "det640", "imgsz": 640,
+           "map50": float(res["metrics/mAP50(B)"]), "map50_95": float(res["metrics/mAP50-95(B)"])}
+    (OUT / "cross640_metrics.json").write_text(json.dumps(out, indent=1))
+    return out
+
+
+def run_cross_seg() -> dict:
+    """refseg-trained best.pt -> OUR segment validator: isolates the mask
+    val protocol (RLE/proto/mask-IoU path) from training variance."""
+    sys.path.insert(0, str(REPO / "tests"))
+    from oracle import load_reference
+
+    load_reference()
+    from spectrogram_yolov11_tpu import YOLO
+
+    m = YOLO(str(OUT / "refseg_s0" / "weights" / "best.pt"))
+    res = m.val(data="shapes_seg_parity.yaml", imgsz=IMGSZ, batch=BATCH, plots=False)
+    out = {"framework": "ref-weights-through-our-val", "leg": "segment", "imgsz": IMGSZ,
+           "map50": float(res["metrics/mAP50(B)"]), "map50_95": float(res["metrics/mAP50-95(B)"]),
+           "mask_map50": float(res["metrics/mAP50(M)"]), "mask_map50_95": float(res["metrics/mAP50-95(M)"])}
+    (OUT / "crossseg_metrics.json").write_text(json.dumps(out, indent=1))
+    return out
+
+
+def reval_ours_seg(seed: int = 0) -> dict:
+    """Re-validate an already-trained oursseg best.ckpt with the CURRENT
+    validator (used once in round 5: the seg leg trained while the mask
+    crop-to-box fix landed; weights are unaffected, the reported metrics
+    needed the fixed protocol)."""
+    from spectrogram_yolov11_tpu import YOLO
+
+    name = f"oursseg_s{seed}"
+    m = YOLO(str(OUT / name / "weights" / "best.ckpt"))
+    res = m.val(data="shapes_seg_parity.yaml", imgsz=IMGSZ, batch=BATCH, plots=False)
+    out = {"framework": "spectrogram_yolov11_tpu", "leg": "segment", "epochs": EPOCHS,
+           "imgsz": IMGSZ, "seed": seed, "checkpoint": "best",
+           "map50": float(res["metrics/mAP50(B)"]), "map50_95": float(res["metrics/mAP50-95(B)"]),
+           "mask_map50": float(res["metrics/mAP50(M)"]), "mask_map50_95": float(res["metrics/mAP50-95(M)"])}
+    (OUT / f"{name}_metrics.json").write_text(json.dumps(out, indent=1))
+    return out
+
+
 def val_ours(imgsz: int) -> dict:
     """Re-val an already-trained runs/parity/ours/weights/best.ckpt."""
     from spectrogram_yolov11_tpu import YOLO
@@ -235,6 +289,7 @@ def report() -> None:
     names += sorted(p.name for p in OUT.glob("ours640_s*_metrics.json"))
     names += sorted(p.name for p in OUT.glob("refseg_s*_metrics.json"))
     names += sorted(p.name for p in OUT.glob("oursseg_s*_metrics.json"))
+    names += ["cross640_metrics.json", "crossseg_metrics.json"]
     for f in names:
         p = OUT / f
         if p.exists():
@@ -277,5 +332,11 @@ if __name__ == "__main__":
         print(val_ours(s))
     elif phase == "cross":
         print(run_cross())
+    elif phase == "cross640":
+        print(run_cross_640())
+    elif phase == "crossseg":
+        print(run_cross_seg())
+    elif phase.startswith("oursseg-reval"):
+        print(reval_ours_seg(int(phase[len("oursseg-reval"):] or 0)))
     else:
         report()

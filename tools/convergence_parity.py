@@ -176,12 +176,12 @@ def run_ref_seg(epochs: int, seed: int = 0) -> dict:
     return out
 
 
-def run_ours_seg(epochs: int, seed: int = 0) -> dict:
+def run_ours_seg(epochs: int, seed: int = 0, resume: bool = False) -> dict:
     from spectrogram_yolov11_tpu import YOLO
 
     name = f"oursseg_s{seed}"
     m = YOLO("yolo11n-seg.yaml")
-    res = m.train(data="shapes_seg_parity.yaml", epochs=epochs,
+    res = m.train(data="shapes_seg_parity.yaml", epochs=epochs, resume=resume,
                   device_augment=False, amp=True, project=str(OUT), name=name,
                   **{**COMMON, "imgsz": IMGSZ, "seed": seed})
     out = {"framework": "spectrogram_yolov11_tpu", "leg": "segment", "epochs": epochs,
@@ -326,6 +326,8 @@ if __name__ == "__main__":
         print(run_ours_640(e, seed=0, device_augment="auto"))
     elif phase.startswith("refseg-seed"):
         print(run_ref_seg(e, seed=int(phase[len("refseg-seed"):])))
+    elif phase.startswith("oursseg-resume"):
+        print(run_ours_seg(e, seed=int(phase[len("oursseg-resume"):] or 0), resume=True))
     elif phase.startswith("oursseg-seed"):
         print(run_ours_seg(e, seed=int(phase[len("oursseg-seed"):])))
     elif phase == "ours-val":

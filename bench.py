@@ -307,6 +307,8 @@ def bench_serve(quick: bool = False) -> dict:
             np.ascontiguousarray(np.resize(gray, (bs, IMGSZ, IMGSZ, 1))), ".jpg", 90),
     }
 
+    if quick:  # headline mode: the baseline wire + the full-feature wire
+        wires = {k: wires[k] for k in ("raw3_bs32", "gray_jpeg_bs32")}
     out = {}
     K = 6 if quick else 12
     for name, batch in wires.items():
@@ -317,7 +319,7 @@ def bench_serve(quick: bool = False) -> dict:
             cli(batch)
         row = {"img_s_1client": round(bs * K / (time.perf_counter() - t0))}
 
-        for n_cli in (2, 4):
+        for n_cli in ((2, 4) if not quick or name == "gray_jpeg_bs32" else (2,)):
             def worker():
                 c = RemoteModel(url)
                 for _ in range(max(K // n_cli, 2)):
